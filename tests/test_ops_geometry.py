@@ -1,0 +1,228 @@
+"""Geometry-core unit tests, cross-checked against torch CPU where possible."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import torch
+import torch.nn.functional as F
+
+from waldo_tpu.ops import (
+    get_grid,
+    get_gaussian_kernel,
+    grid_sample,
+    TPSWarp,
+    InverseWarp,
+    resize,
+    gaussian_blur,
+    EdgeExtractor,
+    bias_act,
+    upfirdn2d,
+    setup_filter,
+)
+
+
+def test_get_grid_matches_reference_convention():
+    g = np.asarray(get_grid(4, 8))
+    assert g.shape == (4, 8, 2)
+    # pixel centers: x_j = -1 + (2j+1)/W
+    assert np.allclose(g[0, 0, 0], -1 + 1 / 8)
+    assert np.allclose(g[0, -1, 0], 1 - 1 / 8)
+    assert np.allclose(g[0, 0, 1], -1 + 1 / 4)
+    assert np.allclose(g[-1, 0, 1], 1 - 1 / 4)
+
+
+def test_grid_sample_matches_torch():
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 7, 9, 3).astype(np.float32)
+    grid = (rng.rand(2, 5, 6, 2).astype(np.float32) * 2.4 - 1.2)  # incl. out of bounds
+
+    ours = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    theirs = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=False,
+    ).permute(0, 2, 3, 1).numpy()
+    assert np.allclose(ours, theirs, atol=1e-5), np.abs(ours - theirs).max()
+
+
+def test_grid_sample_identity():
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, 8, 16, 2).astype(np.float32)
+    grid = np.asarray(get_grid(8, 16))[None]
+    out = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    assert np.allclose(out, img, atol=1e-5)
+
+
+def test_grid_sample_grad_flows():
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randn(1, 8, 8, 1).astype(np.float32))
+    grid = jnp.asarray(rng.rand(1, 4, 4, 2).astype(np.float32) - 0.5)
+
+    def loss(g):
+        return grid_sample(img, g).sum()
+
+    g = jax.grad(loss)(grid)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_tps_exact_at_control_points_identity():
+    # identity control points -> identity mapping
+    tgt_pts = np.asarray(get_grid(4, 4)).reshape(-1, 2)
+    tps = TPSWarp(32, 32, tgt_pts)
+    grid = np.asarray(tps(jnp.asarray(tgt_pts)[None]))
+    ident = np.asarray(get_grid(32, 32))
+    assert np.allclose(grid[0], ident, atol=1e-4), np.abs(grid[0] - ident).max()
+
+
+def test_tps_interpolates_control_points_exactly():
+    # when the dense output grid coincides with the control points, the
+    # mapping must reproduce src_pts exactly (TPS interpolation property)
+    tgt_pts = np.asarray(get_grid(4, 4)).reshape(-1, 2)
+    tps = TPSWarp(4, 4, tgt_pts)
+    rng = np.random.RandomState(0)
+    src = (tgt_pts[None] + 0.1 * rng.randn(3, 16, 2)).astype(np.float32)
+    out = np.asarray(tps(jnp.asarray(src))).reshape(3, -1, 2)
+    assert np.allclose(out, src, atol=1e-4), np.abs(out - src).max()
+
+
+def test_tps_matches_torch_reference():
+    """Replicate the reference TPSWarp math in torch and compare."""
+    def torch_tps(tgt_h, tgt_w, tgt_pts, src_pts):
+        def kd(p1, p2, eps=1e-8):
+            n, m = p1.size(0), p2.size(0)
+            d = (p1 ** 2).sum(-1).view(n, 1) + (p2 ** 2).sum(-1).view(1, m) - 2 * p1 @ p2.t()
+            return 0.5 * d * d.add(eps).log()
+
+        n = tgt_pts.size(0)
+        fk = torch.zeros(n + 3, n + 3)
+        fk[:n, :n] = kd(tgt_pts, tgt_pts)
+        fk[:n, -3] = 1
+        fk[-3, :n] = 1
+        fk[:n, -2:] = tgt_pts
+        fk[-2:, :n] = tgt_pts.t()
+        ik = torch.inverse(fk)
+        x = torch.linspace(-1 + 1 / tgt_w, 1 - 1 / tgt_w, tgt_w)
+        y = torch.linspace(-1 + 1 / tgt_h, 1 - 1 / tgt_h, tgt_h)
+        gx = x.view(1, -1).expand(tgt_h, -1)
+        gy = y.view(-1, 1).expand(-1, tgt_w)
+        grid = torch.stack([gx, gy], -1).view(-1, 2)
+        repr_ = torch.cat([kd(grid, tgt_pts), torch.ones(grid.size(0), 1), grid], 1)
+        b = src_pts.size(0)
+        xpad = torch.cat([src_pts, torch.zeros(b, 3, 2)], 1)
+        mapping = ik @ xpad
+        return (repr_ @ mapping).view(b, tgt_h, tgt_w, 2)
+
+    rng = np.random.RandomState(3)
+    tgt_pts = np.asarray(get_grid(4, 4)).reshape(-1, 2).astype(np.float32)
+    src_pts = (tgt_pts[None] + 0.1 * rng.randn(2, 16, 2)).astype(np.float32)
+
+    ours = np.asarray(TPSWarp(16, 24, tgt_pts)(jnp.asarray(src_pts)))
+    theirs = torch_tps(16, 24, torch.from_numpy(tgt_pts), torch.from_numpy(src_pts)).numpy()
+    assert np.allclose(ours, theirs, atol=1e-3), np.abs(ours - theirs).max()
+
+
+def test_inverse_warp_roundtrip_translation():
+    """A small constant translation should invert to (approximately) its negation."""
+    h, w = 32, 32
+    iw = InverseWarp(h, w, h, w)
+    shift = 4 / (w / 2)  # 4 pixels in normalized units
+    src = np.asarray(get_grid(h, w))[None] + np.array([shift, 0], np.float32)
+    inv = np.asarray(iw(jnp.asarray(src)))
+    ident = np.asarray(get_grid(h, w))
+    # interior pixels that received scatter should have inverse displacement -shift
+    interior = inv[0, 12:20, 12:20]
+    assert np.allclose(interior - ident[12:20, 12:20], [-shift, 0], atol=1e-3)
+
+
+def test_inverse_warp_unmapped_is_out_of_bounds():
+    h, w = 16, 16
+    iw = InverseWarp(h, w, h, w)
+    # translation pushing everything off-grid: no target pixel is ever hit,
+    # so every output must be marked far out of bounds (reference warp.py:164-167)
+    src = np.asarray(get_grid(h, w))[None] + 3.0
+    inv = np.asarray(iw(jnp.asarray(src), erode=False))
+    assert (np.abs(inv) > 1.5).all()
+    assert np.isfinite(inv).all()
+
+
+def test_resize_matches_torch_bilinear():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 8, 12, 3).astype(np.float32)
+    ours = np.asarray(resize(jnp.asarray(x), scale_factor=0.5))
+    theirs = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=0.5, mode="bilinear"
+    ).permute(0, 2, 3, 1).numpy()
+    assert np.allclose(ours, theirs, atol=1e-5), np.abs(ours - theirs).max()
+    ours2 = np.asarray(resize(jnp.asarray(x), scale_factor=2))
+    theirs2 = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2, mode="bilinear"
+    ).permute(0, 2, 3, 1).numpy()
+    assert np.allclose(ours2, theirs2, atol=1e-5)
+
+
+def test_gaussian_blur_matches_torchvision():
+    from torchvision.transforms import GaussianBlur
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 16, 16, 3).astype(np.float32)
+    ours = np.asarray(gaussian_blur(jnp.asarray(x), sigma=2.0, kernel_size=5))
+    theirs = GaussianBlur(kernel_size=5, sigma=2.0)(
+        torch.from_numpy(x).permute(0, 3, 1, 2)
+    ).permute(0, 2, 3, 1).numpy()
+    assert np.allclose(ours, theirs, atol=1e-5), np.abs(ours - theirs).max()
+
+
+def test_edge_extractor_basic():
+    # vertical motion boundary -> edge response along the boundary column
+    flow = np.zeros((1, 16, 16, 2), np.float32)
+    flow[:, :, 8:, 0] = 1.0
+    edge, dominant = EdgeExtractor(kernel_size=3)(jnp.asarray(flow))
+    edge = np.asarray(edge)[0, :, :, 0]
+    assert edge[:, 7:9].mean() > 5 * edge[:, :4].mean()
+    assert np.asarray(dominant).shape == (1, 16, 16, 1)
+
+
+def test_bias_act_matches_reference_semantics():
+    rng = np.random.RandomState(6)
+    x = rng.randn(4, 8).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    out = np.asarray(bias_act(jnp.asarray(x), jnp.asarray(b), act="lrelu"))
+    ref = F.leaky_relu(torch.from_numpy(x) + torch.from_numpy(b), 0.2).numpy() * np.sqrt(2)
+    assert np.allclose(out, ref, atol=1e-5)
+    out = np.asarray(bias_act(jnp.asarray(x), None, act="linear", clamp=0.5))
+    assert np.abs(out).max() <= 0.5
+
+
+def test_upfirdn2d_matches_torch_reference():
+    def torch_upfirdn2d_ref(x, f, up=1, down=1, padding=(0, 0, 0, 0), gain=1, flip_filter=False):
+        b, c, ih, iw = x.shape
+        upx = upy = up
+        downx = downy = down
+        padx0, padx1, pady0, pady1 = padding
+        x = x.reshape(b, c, ih, 1, iw, 1)
+        x = F.pad(x, [0, upx - 1, 0, 0, 0, upy - 1])
+        x = x.reshape(b, c, ih * upy, iw * upx)
+        x = F.pad(x, [max(padx0, 0), max(padx1, 0), max(pady0, 0), max(pady1, 0)])
+        x = x[:, :, max(-pady0, 0): x.shape[2] - max(-pady1, 0), max(-padx0, 0): x.shape[3] - max(-padx1, 0)]
+        f = f * (gain ** (f.ndim / 2))
+        if not flip_filter:
+            f = f.flip(list(range(f.ndim)))
+        f = f[None, None].repeat(c, 1, 1, 1)
+        x = F.conv2d(x, f, groups=c)
+        return x[:, :, ::downy, ::downx]
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, 9, 11).astype(np.float32)  # torch NCHW
+    f = np.asarray(setup_filter([1, 3, 3, 1]))
+
+    for up, down, pad in [(1, 1, (1, 1, 1, 1)), (2, 1, (2, 1, 2, 1)), (1, 2, (1, 1, 1, 1)), (2, 2, (1, 2, 3, 0)), (1, 1, (-1, 2, 0, -1))]:
+        ours = np.asarray(
+            upfirdn2d(jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(f), up=up, down=down, padding=pad)
+        ).transpose(0, 3, 1, 2)
+        theirs = torch_upfirdn2d_ref(torch.from_numpy(x), torch.from_numpy(np.asarray(f)), up, down, pad).numpy()
+        assert ours.shape == theirs.shape, (up, down, pad, ours.shape, theirs.shape)
+        assert np.allclose(ours, theirs, atol=1e-4), (up, down, pad, np.abs(ours - theirs).max())

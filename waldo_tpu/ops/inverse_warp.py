@@ -1,0 +1,142 @@
+"""Forward-scatter warp-grid inversion, TPU-deterministic.
+
+Re-design of the reference InverseWarp (models/modules/warp.py:58-174).
+The reference resolves duplicate scatter targets with a stable sort + adjacent
+-difference trick (warp.py:113-123), which (because the sort is stable) means
+*the lowest source index wins*. We get the same semantics with a scatter-min
+of the source index followed by one gather — O(n) instead of O(n log n) and
+fully deterministic on TPU. Hole filling is the reference's fixed 5-iteration
+dilate + gaussian-normalized fill (warp.py:135-151) expressed as static
+stencil convolutions, which XLA fuses; erosion likewise (warp.py:153-162).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import get_grid, get_gaussian_kernel
+
+
+def _shift_or(m, axis, direction):
+    """Shift a boolean (B,H,W) mask by one pixel, zero-filled."""
+    if direction > 0:
+        pad = [(0, 0)] * 3
+        pad[axis] = (1, 0)
+        return jnp.pad(m, pad)[:, : m.shape[1], : m.shape[2]] if axis == 1 else jnp.pad(m, pad)[:, :, : m.shape[2]]
+    pad = [(0, 0)] * 3
+    pad[axis] = (0, 1)
+    if axis == 1:
+        return jnp.pad(m, pad)[:, 1:, :]
+    return jnp.pad(m, pad)[:, :, 1:]
+
+
+def _neighbor_any(mask):
+    """4-neighborhood OR (dilation step source)."""
+    return (
+        _shift_or(mask, 1, 1)
+        | _shift_or(mask, 1, -1)
+        | _shift_or(mask, 2, 1)
+        | _shift_or(mask, 2, -1)
+    )
+
+
+def _conv2d_same(x, kernel):
+    """x (B,H,W) conv with kernel (k,k), same padding, single channel."""
+    k = kernel.shape[0]
+    out = jax.lax.conv_general_dilated(
+        x[..., None],
+        kernel[..., None, None],
+        window_strides=(1, 1),
+        padding=[(k // 2, k // 2), (k // 2, k // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[..., 0]
+
+
+class InverseWarp:
+    """Invert dense forward warp grids by scatter + hole filling.
+
+    __call__(src_grid (B,Hs,Ws,2), niter=5, pad=True, erode=True)
+      -> tgt_grid (B,H,W,2)
+    where src_grid maps target->source; the result maps source->target with
+    unresolved pixels pushed far out of bounds (2W, 2H) so that a subsequent
+    zero-padding grid_sample reads 0 there (reference warp.py:164-167).
+    """
+
+    def __init__(self, src_height, src_width, tgt_height, tgt_width, kernel_size=3):
+        self.src_shape = (src_height, src_width)
+        self.tgt_shape = (tgt_height, tgt_width)
+        self.kernel = get_gaussian_kernel(kernel_size)
+        self.src_grid = get_grid(src_height, src_width)
+        self.tgt_grid = get_grid(tgt_height, tgt_width)
+
+    def __call__(self, src_grid, niter=5, pad=True, erode=True):
+        b, hs, ws, _ = src_grid.shape
+        h, w = self.tgt_shape
+        n = niter
+
+        dsrc = src_grid - self.src_grid[None]
+        if (hs, ws) != (h, w):
+            dsrc = jax.image.resize(dsrc, (b, h, w, 2), method="bilinear")
+        dx = dsrc[..., 0].reshape(b, -1) * (w / 2.0)
+        dy = dsrc[..., 1].reshape(b, -1) * (h / 2.0)
+
+        col = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)).reshape(-1)
+        row = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)).reshape(-1)
+        xg = jnp.round(col[None] + dx).astype(jnp.int32)
+        yg = jnp.round(row[None] + dy).astype(jnp.int32)
+        oob = (xg < 0) | (yg < 0) | (xg > w - 1) | (yg > h - 1)
+
+        hw = h * w
+        trash = hw  # extra slot receiving all out-of-bounds / losing writes
+        dest = jnp.where(oob, trash, yg * w + xg)  # (B, HW)
+
+        # min-source-index wins among duplicates (deterministic)
+        pos = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None], (b, hw))
+        winner = jnp.full((b, hw + 1), hw, dtype=jnp.int32)
+        winner = winner.at[jnp.arange(b)[:, None], dest].min(pos)
+        keep = (jnp.take_along_axis(winner, dest, axis=1) == pos) & (~oob)
+        dest = jnp.where(keep, dest, trash)
+
+        bidx = jnp.arange(b)[:, None]
+        inv_dx = jnp.zeros((b, hw + 1), jnp.float32).at[bidx, dest].set(-dx)[:, :hw]
+        inv_dy = jnp.zeros((b, hw + 1), jnp.float32).at[bidx, dest].set(-dy)[:, :hw]
+        mask = jnp.zeros((b, hw + 1), bool).at[bidx, dest].set(True)[:, :hw]
+        inv_dx = inv_dx.reshape(b, h, w)
+        inv_dy = inv_dy.reshape(b, h, w)
+        mask = mask.reshape(b, h, w)
+
+        if pad:
+            p = n + 1
+            inv_dx = jnp.pad(inv_dx, ((0, 0), (p, p), (p, p)))
+            inv_dy = jnp.pad(inv_dy, ((0, 0), (p, p), (p, p)))
+            mask = jnp.pad(mask, ((0, 0), (p, p), (p, p)))
+
+        for _ in range(niter):
+            new_mask = _neighbor_any(mask) & (~mask)
+            fx = _conv2d_same(inv_dx, self.kernel)
+            fy = _conv2d_same(inv_dy, self.kernel)
+            s = _conv2d_same(mask.astype(jnp.float32), self.kernel)
+            s = jnp.where(s == 0, 1.0, s)
+            inv_dx = jnp.where(new_mask, fx / s, inv_dx)
+            inv_dy = jnp.where(new_mask, fy / s, inv_dy)
+            mask = mask | new_mask
+
+        if erode:
+            for _ in range(niter):
+                border = _neighbor_any(~mask) & mask
+                mask = mask & (~border)
+
+        inv_dx = jnp.where(mask, inv_dx, 2.0 * w)
+        inv_dy = jnp.where(mask, inv_dy, 2.0 * h)
+
+        if pad:
+            p = n + 1
+            inv_dx = inv_dx[:, p:-p, p:-p]
+            inv_dy = inv_dy[:, p:-p, p:-p]
+
+        dtgt = jnp.stack([inv_dx * (2.0 / w), inv_dy * (2.0 / h)], axis=-1)
+        return self.tgt_grid[None] + dtgt
