@@ -164,15 +164,22 @@ def test_resize_matches_torch_bilinear():
     assert np.allclose(ours2, theirs2, atol=1e-5)
 
 
-def test_gaussian_blur_matches_torchvision():
-    from torchvision.transforms import GaussianBlur
-
+def test_gaussian_blur_matches_torchvision_formula():
+    # torchvision GaussianBlur: g(i) = exp(-0.5*((i-c)/sigma)^2), normalized,
+    # applied separably with reflect padding — replicated here with torch conv2d
     rng = np.random.RandomState(5)
+    k, sigma = 5, 2.0
     x = rng.randn(2, 16, 16, 3).astype(np.float32)
-    ours = np.asarray(gaussian_blur(jnp.asarray(x), sigma=2.0, kernel_size=5))
-    theirs = GaussianBlur(kernel_size=5, sigma=2.0)(
-        torch.from_numpy(x).permute(0, 3, 1, 2)
-    ).permute(0, 2, 3, 1).numpy()
+    ours = np.asarray(gaussian_blur(jnp.asarray(x), sigma=sigma, kernel_size=k))
+
+    half = (k - 1) * 0.5
+    g = np.exp(-0.5 * ((np.linspace(-half, half, k)) / sigma) ** 2)
+    g = (g / g.sum()).astype(np.float32)
+    k2 = np.outer(g, g)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    xt = F.pad(xt, [k // 2] * 4, mode="reflect")
+    w2 = torch.from_numpy(np.tile(k2[None, None], (3, 1, 1, 1)))
+    theirs = F.conv2d(xt, w2, groups=3).permute(0, 2, 3, 1).numpy()
     assert np.allclose(ours, theirs, atol=1e-5), np.abs(ours - theirs).max()
 
 

@@ -1,0 +1,229 @@
+"""Transformer blocks and attention variants (flax.linen).
+
+Re-design of the reference attention zoo (models/modules/transform.py:15-447)
+for static shapes: the reference packs variable-length context with boolean
+indexing (`to_ctx`/`from_ctx`, tools/utils.py:84-96) which cannot jit; here
+every sequence keeps its full static length and variable context is expressed
+with additive key masks — mathematically identical softmax outputs at the
+positions that are read downstream.
+
+All matmuls run through einsum in the default (fast) TPU precision; token
+counts are small (<= a few thousand) so full attention maps cleanly onto the
+MXU without flash/ring machinery.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .init import dense_kwargs
+
+_NEG = -1e9  # large-negative instead of -inf: avoids NaN on fully-masked rows
+
+
+def _split_heads(x, num_heads):
+    b, n, c = x.shape
+    return x.reshape(b, n, num_heads, c // num_heads)
+
+
+def _mha(q, k, v, num_heads, key_mask=None):
+    """q (B,Nq,C), k/v (B,Nk,C), key_mask (B,Nk) True=attend -> (B,Nq,C)."""
+    b, nq, c = q.shape
+    d = c // num_heads
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * (d ** -0.5)
+    if key_mask is not None:
+        attn = jnp.where(key_mask[:, None, None, :], attn, _NEG)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+    return out.reshape(b, nq, c)
+
+
+class PixelNorm(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return x * jax.lax.rsqrt(jnp.mean(x ** 2, axis=-1, keepdims=True) + 1e-8)
+
+
+class CustomNorm(nn.Module):
+    """ln / ln_not_affine / pn / ln2d (reference transform.py:395-413)."""
+
+    norm_type: str = "ln"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.norm_type == "ln":
+            return nn.LayerNorm()(x)
+        if self.norm_type == "ln_not_affine":
+            return nn.LayerNorm(use_bias=False, use_scale=False)(x)
+        if self.norm_type == "pn":
+            return PixelNorm()(x)
+        if self.norm_type == "ln2d":
+            # per-channel norm over spatial dims (torch GroupNorm(C, C)), NHWC
+            return nn.GroupNorm(num_groups=x.shape[-1])(x)
+        raise ValueError(self.norm_type)
+
+
+class Mlp(nn.Module):
+    dim: int
+    mul: int = 4
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.mul * self.dim, **dense_kwargs())(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_dim or self.dim, **dense_kwargs())(x)
+
+
+class _NoiseMixin:
+    def _add_noise(self, x, deterministic):
+        strength = self.param("noise_strength", nn.initializers.zeros, ())
+        if deterministic:
+            return x
+        noise = jax.random.normal(self.make_rng("noise"), (x.shape[0], x.shape[1], 1))
+        return x + noise * strength
+
+
+class FullAttention(nn.Module, _NoiseMixin):
+    """Self-attention with optional key mask (reference transform.py:87-122)."""
+
+    dim: int
+    num_heads: int
+    noise: bool = False
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, deterministic=True, **_):
+        if self.noise:
+            x = self._add_noise(x, deterministic)
+        qkv = nn.Dense(self.dim * 3, use_bias=False, **dense_kwargs())(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = _mha(q, k, v, self.num_heads, key_mask)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
+class CrossAttention(nn.Module, _NoiseMixin):
+    """Queries over x, keys/values over x_ctx (reference transform.py:125-158)."""
+
+    dim: int
+    num_heads: int
+    noise: bool = False
+
+    @nn.compact
+    def __call__(self, x, x_ctx, key_mask=None, deterministic=True, **_):
+        if self.noise:
+            x = self._add_noise(x, deterministic)
+        q = nn.Dense(self.dim, use_bias=False, **dense_kwargs())(x)
+        kv = nn.Dense(self.dim * 2, use_bias=False, **dense_kwargs())(x_ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        out = _mha(q, k, v, self.num_heads, key_mask)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
+class ObjAttention(nn.Module):
+    """Object queries attending to themselves + frame tokens
+    (reference transform.py:161-187)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, x_ctx, deterministic=True, **_):
+        q = nn.Dense(self.dim, use_bias=False, **dense_kwargs())(x)
+        kv_layer = nn.Dense(self.dim * 2, use_bias=False, **dense_kwargs())
+        k_obj, v_obj = jnp.split(kv_layer(x), 2, axis=-1)
+        k_ctx, v_ctx = jnp.split(kv_layer(x_ctx), 2, axis=-1)
+        k = jnp.concatenate([k_obj, k_ctx], axis=1)
+        v = jnp.concatenate([v_obj, v_ctx], axis=1)
+        out = _mha(q, k, v, self.num_heads)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
+class ClsAttention(nn.Module):
+    """CLS-token pooling attention (reference transform.py:190-211)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, x_ctx, deterministic=True, **_):
+        z = jnp.concatenate([x, x_ctx], axis=1)
+        q = nn.Dense(self.dim, use_bias=False, **dense_kwargs())(x)
+        kv = nn.Dense(self.dim * 2, use_bias=False, **dense_kwargs())(z)
+        k, v = jnp.split(kv, 2, axis=-1)
+        out = _mha(q, k, v, self.num_heads)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
+_ATTN = {
+    "full": FullAttention,
+    "full_with_cond_norm": FullAttention,
+    "cross": CrossAttention,
+    "obj": ObjAttention,
+    "cls": ClsAttention,
+}
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (reference transform.py:26-58)."""
+
+    dim: int
+    num_heads: int
+    block_type: str = "full"
+    norm_layer: str = "ln"
+    noise: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, x_ctx=None, key_mask=None, z_cond=None, deterministic=True):
+        cond_norm = self.block_type == "full_with_cond_norm"
+        if cond_norm:
+            ab = Mlp(self.dim, out_dim=4 * self.dim)(z_cond).reshape(
+                x.shape[0], 1, 4, self.dim
+            )
+            a1, b1, a2, b2 = ab[:, :, 0], ab[:, :, 1], ab[:, :, 2], ab[:, :, 3]
+        else:
+            a1, b1, a2, b2 = 1.0, 0.0, 1.0, 0.0
+        attn_cls = _ATTN[self.block_type]
+        attn_kwargs = dict(dim=self.dim, num_heads=self.num_heads)
+        if self.block_type in ("full", "full_with_cond_norm", "cross"):
+            attn_kwargs["noise"] = self.noise
+        attn = attn_cls(**attn_kwargs)
+
+        h = a1 * CustomNorm(self.norm_layer)(x) + b1
+        h = attn(h, x_ctx=x_ctx, key_mask=key_mask, deterministic=deterministic)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = x + h
+        h = Mlp(self.dim)(a2 * CustomNorm(self.norm_layer)(x) + b2)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+class MultiBlocks(nn.Module):
+    depth: int
+    dim: int
+    num_heads: int
+    block_type: str = "full"
+    norm_layer: str = "ln"
+    noise: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        for _ in range(self.depth):
+            x = Block(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                block_type=self.block_type,
+                norm_layer=self.norm_layer,
+                noise=self.noise,
+                dropout=self.dropout,
+            )(x, **kwargs)
+        return x

@@ -11,15 +11,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bilinear_sample_axis(x, axis, out_size):
+    """Non-antialiased bilinear resample along one axis, edge-clamped
+    (torch `F.interpolate(mode='bilinear', antialias=False)` semantics)."""
+    in_size = x.shape[axis]
+    scale = in_size / out_size
+    pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    lo = jnp.clip(jnp.floor(pos), 0, in_size - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    t = jnp.clip(pos - lo.astype(jnp.float32), 0.0, 1.0)
+    xl = jnp.take(x, lo, axis=axis)
+    xh = jnp.take(x, hi, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    t = t.reshape(shape).astype(x.dtype)
+    return xl * (1 - t) + xh * t
+
+
 def resize(x: jnp.ndarray, scale_factor: float = None, shape=None, method="bilinear"):
-    """Bilinear resize of (..., H, W, C); half-pixel centers (align_corners=False)."""
+    """Bilinear resize of (..., H, W, C); half-pixel centers, no antialiasing
+    — matches torch `F.interpolate(..., mode='bilinear')` for both up and
+    down scaling (jax.image.resize antialiases on downscale, torch doesn't)."""
     if scale_factor is not None and scale_factor == 1:
         return x
     h, w = x.shape[-3], x.shape[-2]
     if shape is None:
         shape = (int(h * scale_factor), int(w * scale_factor))
-    out_shape = x.shape[:-3] + (shape[0], shape[1]) + x.shape[-1:]
-    return jax.image.resize(x, out_shape, method=method)
+    if shape == (h, w):
+        return x
+    x = _bilinear_sample_axis(x, x.ndim - 3, shape[0])
+    x = _bilinear_sample_axis(x, x.ndim - 2, shape[1])
+    return x
 
 
 def _torchvision_gaussian_1d(kernel_size: int, sigma: float) -> np.ndarray:
@@ -42,9 +64,11 @@ def gaussian_blur(x: jnp.ndarray, sigma: float = 3.0, kernel_size: int = 23):
     kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
     dn = ("NHWC", "HWIO", "NHWC")
     y = jax.lax.conv_general_dilated(y, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     y = jax.lax.conv_general_dilated(y, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     return y.reshape(lead + (h, w, c))
 
 
@@ -83,7 +107,8 @@ class EdgeExtractor:
         xc = jnp.pad(xc, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
         dn = ("NHWC", "HWIO", "NHWC")
         mean_flow = jax.lax.conv_general_dilated(xc, self.mean_kernel, (1, 1), "VALID",
-                                                 dimension_numbers=dn)
+                                                 dimension_numbers=dn,
+                                                 precision=jax.lax.Precision.HIGHEST)
         mean_flow = mean_flow.reshape(b, c, h, w)
         flow_sq = (x.transpose(0, 3, 1, 2)) ** 2
         mean_norm = (mean_flow ** 2).sum(axis=1)
@@ -91,7 +116,8 @@ class EdgeExtractor:
         dominant = (flow_norm > mean_norm).astype(flow.dtype)[..., None]
 
         edge = jax.lax.conv_general_dilated(xc, self.sobel_kernel, (1, 1), "VALID",
-                                            dimension_numbers=dn)  # (b*c,h,w,2)
+                                            dimension_numbers=dn,
+                                                 precision=jax.lax.Precision.HIGHEST)  # (b*c,h,w,2)
         edge = jnp.sqrt((edge ** 2).sum(axis=-1) + eps) / self.max_edge
         edge = edge.reshape(b, c, h, w)
         edge = 1.0 - jnp.prod(1.0 - edge, axis=1)

@@ -52,6 +52,7 @@ def _conv2d_same(x, kernel):
         window_strides=(1, 1),
         padding=[(k // 2, k // 2), (k // 2, k // 2)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[..., 0]
 
