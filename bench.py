@@ -1,0 +1,60 @@
+"""Benchmark: predicted frames/sec/chip for the flagship Cityscapes pipeline.
+
+Runs the full LVD->FLP->WIF `vid_prediction` path (14-frame clip, 4 context,
+model dim 128, output 256x512) jitted on the real chip and reports rollout
+throughput as ONE JSON line. `vs_baseline` is measured against the published
+protocol target of BASELINE.json (>=10x the torch reference per chip); the
+reference publishes no throughput numbers (BASELINE.md), so we normalize
+against WALDO_BASELINE_FPS when provided and report 0.0 otherwise.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _flagship_cfg, _batch_for
+    from waldo_tpu.models import Synthesizer
+
+    dim = int(os.environ.get("WALDO_BENCH_DIM", "128"))
+    load_dim = int(os.environ.get("WALDO_BENCH_LOAD_DIM", "256"))
+    vid_len = int(os.environ.get("WALDO_BENCH_VID_LEN", "14"))
+    batch = int(os.environ.get("WALDO_BENCH_BATCH", "1"))
+    iters = int(os.environ.get("WALDO_BENCH_ITERS", "10"))
+
+    cfg = _flagship_cfg(dim=dim, load_dim=load_dim, vid_len=vid_len)
+    syn = Synthesizer(cfg)
+    params = syn.init_params(jax.random.PRNGKey(0))
+    data = _batch_for(cfg, b=batch)
+
+    fn = jax.jit(lambda p, b: syn.predict(p, b)["pred_vid"])
+    out = fn(params, data)
+    out.block_until_ready()  # compile
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, data)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    pred_frames = batch * (vid_len - cfg.model.ctx_len) * iters
+    fps = pred_frames / dt
+    base = float(os.environ.get("WALDO_BASELINE_FPS", "0") or 0)
+    vs = fps / base if base > 0 else 0.0
+    print(json.dumps({
+        "metric": f"pred_frames_per_sec_per_chip(cityscapes {load_dim}x{load_dim*2}, {vid_len}-frame rollout)",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,7 +2,16 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh: sharding logic is validated
 # without TPU hardware; bench.py (not tests) runs on the real chip.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# NOTE: jax is already imported at interpreter startup in this image (a
+# site hook), so env vars alone are too late; jax.config.update works as
+# long as no backend has been initialized yet. The axon TPU plugin also
+# ignores JAX_PLATFORMS — only jax_platform_name reliably forces CPU.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platform_name", "cpu")

@@ -1,0 +1,103 @@
+"""Trainer / checkpoint / sharded-step tests on the synthetic dataset.
+
+Runs on the 8-virtual-device CPU mesh from conftest, exercising the real
+data-parallel path (batch sharded over "data", params replicated).
+"""
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from waldo_tpu.config import Config, DataConfig, ModelConfig
+
+
+def train_cfg(tmp, use_pg=False, use_ii=False, vid_modes=None):
+    return Config(
+        name="t",
+        datetime="now",
+        save_path=str(tmp),
+        dim=32,
+        aspect_ratio=2.0,
+        batch_size_vid=8,
+        num_iter=3,
+        save_latest_freq=2,
+        log_freq=1,
+        vid_modes=vid_modes or ["vid_object_extractor"],
+        data=DataConfig(num_lyt=6, fg_idx=[1, 4], bg_idx=[0], other_idx=[2], vid_len=5,
+                        dataset="synthetic", num_workers=2),
+        model=ModelConfig(
+            patch_size=8, latent_shape=(4, 8), obj_shape=(2, 2), embed_dim=32,
+            num_heads=4, num_obj=4, oe_depth=1, pe_depth=1, pg_com_depth=1,
+            pg_enc_depth=1, pg_dec_depth=1, pg_num_timesteps=5, oe_num_timesteps=5,
+            ii_depth=2, ii_embed_dim=16, ctx_len=2, min_ctx_length_vid=2,
+            max_ctx_length_vid=2, edge_size=3,
+            use_pe=True, use_pg=use_pg, use_ii=use_ii,
+        ),
+    )
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_trainer_lvd_steps_and_checkpoints(tmp_path):
+    from waldo_tpu.train import Trainer
+
+    cfg = train_cfg(tmp_path)
+    tr = Trainer(cfg)
+    tr.run(num_iter=3)
+    # latest checkpoint exists and restores
+    assert tr.ckpt.exists("pe", "latest")
+    params = tr.syn.init_params(jax.random.PRNGKey(0))
+    restored = tr.ckpt.restore("pe", params["pe"], which="latest")
+    trained = jax.device_get(tr.states["pe"].params)
+    chex_ok = jax.tree.all(
+        jax.tree.map(lambda a, b: np.allclose(a, b), restored, trained)
+    )
+    assert chex_ok
+
+
+def test_trainer_loss_decreases_on_fixed_batch(tmp_path):
+    """Optimizer sanity: repeated steps on one batch reduce the LVD loss."""
+    from waldo_tpu.train import Trainer
+    from waldo_tpu.parallel import shard_batch
+
+    cfg = train_cfg(tmp_path)
+    cfg.model.vid_object_extractor_losses = ["l1_flow"]
+    cfg.model.lambda_l1_flow = 100.0
+    tr = Trainer(cfg)
+    from waldo_tpu.data import create_dataset, DataLoader
+
+    ds = create_dataset(cfg, phase="valid")
+    batch = next(iter(DataLoader(ds, 8, shuffle=False, num_workers=1)))
+    batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    batch = shard_batch(batch, tr.mesh)
+    net, step = tr._steps["vid_object_extractor"]
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for it in range(8):
+        tr.states[net], metrics = step(tr.states[net], tr.states, batch, rng,
+                                       np.float32(it))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert losses[-1] < losses[0], losses
+
+
+def test_evaluator_predict_and_dump(tmp_path):
+    from waldo_tpu.train import Trainer, Evaluator
+
+    cfg = train_cfg(tmp_path, use_pg=True, use_ii=True)
+    tr = Trainer(cfg)
+    tr.save(0, name="latest")
+
+    cfg2 = train_cfg(tmp_path, use_pg=True, use_ii=True)
+    cfg2.data.eval_phase = "test"
+    cfg2.batch_size_vid = 8
+    cfg2.model.load_path = cfg.checkpoint_path
+    cfg2.model.pg_load_path = cfg.checkpoint_path
+    cfg2.model.ii_load_path = cfg.checkpoint_path
+    ev = Evaluator(cfg2)
+    metrics = ev.run(dump=True, max_batches=1)
+    assert np.isfinite(metrics["l1_pred"])
+    dumped = os.listdir(os.path.join(cfg2.result_path, "pred_vid"))
+    assert len(dumped) >= 1

@@ -228,8 +228,8 @@ class ModelConfig:
     lr: float = 1e-4
     beta1: float = 0.0
     beta2: float = 0.99
-    wd: float = 1e-5
-    clip_value: float = 1.0
+    wd: float = 0.0
+    clip_value: float = 0.0
     use_amp: bool = False
 
     # checkpoint loading

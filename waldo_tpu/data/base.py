@@ -1,0 +1,244 @@
+"""Base video dataset: clip index, loaders, host-side augmentation.
+
+Torch-free re-design of reference data/base_dataset.py. Produces channel-last
+float32 numpy arrays ready for device transfer:
+
+  vid  (T, H, W, 3)   in [-1, 1]
+  lyt  (T, H, W, Nl)  one-hot scaled 5*(2x-1) (base_dataset.py:173-183)
+  flow (T, Hf, Wf, 2) normalized 2*px/width (base_dataset.py:185-208)
+
+Augmentation follows base_dataset.py:113-165: random zoom-crop (zoom in
+[max(1, ar/true_ratio), max_zoom]), optional flips (sign-corrected flow),
+color jitter on RGB only. Deviation from the reference: color-jitter ops are
+applied in a fixed order (brightness, saturation, hue) instead of a random
+order — the released configs use contrast-free jitter where ordering has no
+visible effect on training.
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional
+
+import numpy as np
+import PIL.Image
+
+from .flo import read_flo
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp")
+
+
+def make_dataset(directory: str, recursive: bool = True) -> List[str]:
+    """Recursive image-file scan (reference data/folder_dataset.py:34-62)."""
+    paths = []
+    for root, _dirs, files in sorted(os.walk(directory)):
+        for f in sorted(files):
+            if f.lower().endswith(IMG_EXTENSIONS):
+                paths.append(os.path.join(root, f))
+        if not recursive:
+            break
+    return paths
+
+
+def _resize(arr: np.ndarray, size, method=PIL.Image.BILINEAR) -> np.ndarray:
+    """Resize (H, W, C) float array channel-by-channel via PIL bilinear."""
+    h, w = size
+    if arr.shape[:2] == (h, w):
+        return arr
+    chans = [
+        np.asarray(
+            PIL.Image.fromarray(arr[:, :, c], mode="F").resize((w, h), method)
+        )
+        for c in range(arr.shape[2])
+    ]
+    return np.stack(chans, axis=-1)
+
+
+def _color_jitter(img: np.ndarray, brightness, contrast, saturation, hue) -> np.ndarray:
+    """img (H, W, 3) in [0, 1]."""
+    img = np.clip(img * brightness, 0, 1)
+    if contrast != 1:
+        mean = img.mean()
+        img = np.clip(mean + contrast * (img - mean), 0, 1)
+    if saturation != 1:
+        gray = img.mean(axis=-1, keepdims=True)
+        img = np.clip(gray + saturation * (img - gray), 0, 1)
+    if hue != 0:
+        import colorsys
+
+        hsv = np.asarray(PIL.Image.fromarray((img * 255).astype(np.uint8)).convert("HSV"),
+                         dtype=np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(hue * 255)) % 256
+        img = np.asarray(
+            PIL.Image.fromarray(hsv.astype(np.uint8), mode="HSV").convert("RGB")
+        ).astype(np.float32) / 255.0
+    return img
+
+
+class AugmentParams:
+    def __init__(self, v_flip, h_flip, top_crop, left_crop, h_crop, w_crop, jitter, zoom):
+        self.v_flip = v_flip
+        self.h_flip = h_flip
+        self.top_crop = top_crop
+        self.left_crop = left_crop
+        self.h_crop = h_crop
+        self.w_crop = w_crop
+        self.jitter = jitter
+        self.zoom = zoom
+
+
+class BaseVideoDataset:
+    """Frame-folder video dataset with modality siblings."""
+
+    def __init__(self, cfg, phase="train", rng: Optional[random.Random] = None):
+        self.cfg = cfg
+        self.phase = phase
+        self.rng = rng or random.Random(cfg.seed)
+        self.dim = cfg.dim if cfg.load_dim == 0 else cfg.load_dim
+        self.true_dim = cfg.true_dim
+        self.true_ratio = getattr(cfg, "true_ratio", cfg.aspect_ratio)
+        self.frame_folder = None
+        self.layout_folder = None
+        self.flow_folder = None
+        self.data = self.get_data(cfg, phase)
+
+    def get_data(self, cfg, phase) -> Dict:
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.data["vid_frame_paths"])
+
+    # -- augmentation parameter sampling (base_dataset.py:113-165) --
+
+    def sample_augmentation(self) -> AugmentParams:
+        cfg = self.cfg
+        d = cfg.data
+        train = self.phase == "train"
+        rnd = self.rng.random
+        v_flip = rnd() > 0.5 if train and not d.no_v_flip else False
+        h_flip = rnd() > 0.5 if train and not d.no_h_flip else False
+        h = int(self.true_dim)
+        w = int(self.true_dim * self.true_ratio)
+        min_zoom = max(1.0, cfg.aspect_ratio / self.true_ratio)
+        max_zoom = max(d.max_zoom, min_zoom)
+        zoom = min_zoom + rnd() * (max_zoom - min_zoom) if train else min_zoom
+        h_crop = int(h / zoom)
+        w_crop = int(h_crop * cfg.aspect_ratio)
+        top_crop = int(rnd() * (h - h_crop)) if train else 0
+        left_crop = int(rnd() * (w - w_crop)) if train else 0
+        jitter = None
+        if d.colorjitter is not None and train:
+            cj = d.colorjitter
+            b = max(0, 1 + (rnd() * 2 - 1) * cj)
+            c = 1 if d.colorjitter_no_contrast else max(0, 1 + (rnd() * 2 - 1) * cj)
+            s = max(0, 1 + (rnd() * 2 - 1) * cj)
+            hh = 0.5 * (rnd() * 2 - 1) * cj
+            jitter = (b, c, s, hh)
+        return AugmentParams(v_flip, h_flip, top_crop, left_crop, h_crop, w_crop, jitter, zoom)
+
+    # -- per-modality loaders --
+
+    def _spatial(self, arr: np.ndarray, aug: AugmentParams) -> np.ndarray:
+        """crop -> resize to (dim, dim*ar) -> flips, on (H, W, C) float."""
+        cfg = self.cfg
+        a = arr[aug.top_crop: aug.top_crop + aug.h_crop,
+                aug.left_crop: aug.left_crop + aug.w_crop]
+        size = (self.dim, int(self.dim * cfg.aspect_ratio))
+        a = _resize(a, size)
+        if aug.v_flip:  # reference v_flip = horizontal mirror (base_dataset.py:347-349)
+            a = a[:, ::-1]
+        if aug.h_flip:
+            a = a[::-1]
+        return np.ascontiguousarray(a)
+
+    def load_rgb(self, path: str, aug: AugmentParams) -> np.ndarray:
+        img = np.asarray(PIL.Image.open(path).convert("RGB"), np.float32) / 255.0
+        if aug.jitter is not None:
+            img = _color_jitter(img, *aug.jitter)
+        img = self._spatial(img, aug)
+        return img * 2.0 - 1.0
+
+    def load_layout(self, path: str, aug: AugmentParams) -> np.ndarray:
+        d = self.cfg.data
+        lyt = np.asarray(PIL.Image.open(path), np.int64)
+        if lyt.ndim == 3:
+            lyt = lyt[..., 0]
+        for i in range(len(d.remap_lyt) // 2):
+            src, tgt = d.remap_lyt[2 * i], d.remap_lyt[2 * i + 1]
+            lyt = np.where(lyt == src, tgt, lyt)
+        onehot = np.zeros(lyt.shape + (d.num_lyt,), np.float32)
+        valid = lyt < d.num_lyt
+        np.put_along_axis(
+            onehot, np.clip(lyt, 0, d.num_lyt - 1)[..., None], valid[..., None].astype(np.float32), axis=-1
+        )
+        onehot = self._spatial(onehot, aug)
+        return 5.0 * (onehot * 2.0 - 1.0)
+
+    def load_flow(self, path: str, aug: AugmentParams) -> np.ndarray:
+        cfg = self.cfg
+        flow = read_flo(path)  # (H, W, 2) raw px
+        h, w = flow.shape[:2]
+        flow = flow * aug.zoom
+        if aug.v_flip:
+            flow = flow.copy()
+            flow[..., 0] = -flow[..., 0]
+        if aug.h_flip:
+            flow = flow.copy()
+            flow[..., 1] = -flow[..., 1]
+        flow = flow.copy()
+        flow[..., 0] = 2.0 * flow[..., 0] / w
+        flow[..., 1] = 2.0 * flow[..., 1] / h
+        # flow files may live at their own resolution (flow_dim); crop/resize
+        # in their own pixel space, scaled from true_dim coordinates
+        fh_scale = h / self.true_dim
+        a = flow[int(aug.top_crop * fh_scale): int((aug.top_crop + aug.h_crop) * fh_scale),
+                 int(aug.left_crop * fh_scale): int((aug.left_crop + aug.w_crop) * fh_scale)]
+        fdim = cfg.flow_dim if cfg.flow_dim > 0 else cfg.dim
+        a = _resize(a, (fdim, int(fdim * cfg.aspect_ratio)))
+        if aug.v_flip:
+            a = a[:, ::-1]
+        if aug.h_flip:
+            a = a[::-1]
+        return np.ascontiguousarray(a)
+
+    # -- clip assembly (base_dataset.py:210-324, frame-folder path) --
+
+    def _select_frames(self, frame_paths: List[str]) -> List[str]:
+        cfg, d = self.cfg, self.cfg.data
+        if d.skip_first:
+            frame_paths = frame_paths[1:]
+        per_clip = d.load_vid_len if d.load_vid_len is not None else d.vid_len
+        assert len(frame_paths) >= per_clip, (len(frame_paths), per_clip)
+        n = len(frame_paths) - (per_clip - 1) * d.one_every_n - 1
+        idx = self.rng.randrange(n) if (self.phase == "train" and n > 0) else 0
+        frame_paths = frame_paths[idx: idx + per_clip * d.one_every_n: d.one_every_n]
+        if d.load_vid_len is not None:
+            if d.load_n_plus_1:
+                start = int(self.rng.random() * (d.load_vid_len - (d.vid_len - 1)))
+                end = start + d.vid_len - 1
+                last = int(self.rng.random() * (d.load_vid_len - end))
+                frame_paths = frame_paths[start:end] + [frame_paths[end + last]]
+            else:
+                step = max(1, int(self.rng.random() * (d.load_vid_len - 1) / (d.vid_len - 1)))
+                step = min(step, d.max_vid_step)
+                start = int(self.rng.random() * (d.load_vid_len - (d.vid_len - 1) * step))
+                frame_paths = frame_paths[start: start + step * (d.vid_len - 1) + 1: step]
+        return frame_paths
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg, d = self.cfg, self.cfg.data
+        aug = self.sample_augmentation()
+        frame_paths = self._select_frames(self.data["vid_frame_paths"][index])
+
+        out = {"path": frame_paths[0]}
+        out["vid"] = np.stack([self.load_rgb(p, aug) for p in frame_paths])
+        if d.load_lyt:
+            lyt_paths = [p.replace(self.frame_folder, self.layout_folder) for p in frame_paths]
+            out["lyt"] = np.stack([self.load_layout(p, aug) for p in lyt_paths])
+        if d.load_flow:
+            flow_paths = [
+                p.replace(self.frame_folder, self.flow_folder).replace(".png", ".flo")
+                for p in frame_paths
+            ]
+            out["flow"] = np.stack([self.load_flow(p, aug) for p in flow_paths])
+        return out

@@ -1,0 +1,608 @@
+"""Synthesizer — orchestration of LVD/FLP/WIF and the per-mode loss graphs.
+
+Re-design of reference models/synthesizer.py:18-1135. The reference is one
+stateful nn.Module whose methods mutate optimizers in-place; here every mode
+is a *pure* loss function (params, batch, rng, step) -> (loss, metrics) so
+the trainer can jit/pjit them directly, and full inference is a pure
+`predict`. Known release defects are fixed, not copied: AMP scalers are
+unnecessary (bf16 on TPU needs no loss scaling), `net_pd`/`net_id` are only
+constructed when the GAN path is enabled, and the EdgeExtractor import bug
+is gone.
+
+Batch layout (channel-last): vid (B,T,Hd,Wd,3), lyt (B,T,Hd,Wd,Nl) scaled to
+{-5, 5} (5*(2x-1), reference data/base_dataset.py:173-183), flow (B,T,H,W,2).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import EdgeExtractor, gaussian_blur, get_grid, resize
+from ..utils import gather_time
+from .lvd import LVDNet, bg_alpha_buffer, compute_occ
+from .flp import FLPNet
+from .wif import WIFNet
+from .warper import Warper, WarpGrids
+
+
+def _masked_mean(x, mask):
+    """Mean of x over elements where mask (broadcastable) is True."""
+    mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+    return (x * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def compute_pts_regularization(pose, num_h, num_w):
+    """Control-point grid smoothness (reference synthesizer.py:1121-1125)."""
+    pts = pose.reshape(-1, num_h, num_w, 2)
+    reg_h = ((pts[:, 1:-1] - 0.5 * (pts[:, 2:] + pts[:, :-2])) ** 2).mean()
+    reg_w = ((pts[:, :, 1:-1] - 0.5 * (pts[:, :, 2:] + pts[:, :, :-2])) ** 2).mean()
+    return reg_h + reg_w
+
+
+def _topk_mean(x, k, axis):
+    """Mean of the k largest entries along axis."""
+    return jax.lax.top_k(jnp.moveaxis(x, axis, -1), k)[0].mean(axis=-1)
+
+
+class Synthesizer:
+    """Holds model definitions + parameterless geometry; all methods pure."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        m = cfg.model
+        self.lvd = LVDNet(cfg) if m.use_pe else None
+        self.flp = FLPNet(cfg) if m.use_pg else None
+        self.wif = WIFNet(cfg) if m.use_ii else None
+        self.warper = Warper(cfg)
+        self.edge = EdgeExtractor(kernel_size=m.edge_size)
+        self.bg_alpha = bg_alpha_buffer(cfg)
+        # perceptual loss is optional: enabled when converted VGG weights exist
+        self.lpips = None
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def init_params(self, rng) -> Dict[str, Any]:
+        cfg, m = self.cfg, self.cfg.model
+        t = cfg.data.vid_len
+        hd = cfg.load_dim if cfg.load_dim > 0 else cfg.dim
+        wd = int(hd * cfg.aspect_ratio)
+        nl = cfg.data.num_lyt
+        c_in = (3 if m.input_rgb else 0) + (nl if m.input_lyt else 0) + (2 if m.input_flow else 0)
+        params = {}
+        keys = jax.random.split(rng, 3)
+        if self.lvd is not None:
+            vid = jnp.zeros((1, t, hd, wd, c_in))
+            params["pe"] = self.lvd.init(keys[0], vid)
+        if self.flp is not None:
+            no, lo = m.num_obj, m.obj_shape[0] * m.obj_shape[1]
+            l = m.latent_shape[0] * m.latent_shape[1]
+            c = m.embed_dim
+            params["pg"] = self.flp.init(
+                keys[1],
+                jnp.zeros((1, t, no, lo, 2)),
+                jnp.zeros((1, t, 1, l, 2)),
+                jnp.zeros((1, t, no)),
+                jnp.zeros((1, no, lo, c)),
+                jnp.zeros((1, l, c)),
+                jnp.zeros((1, no, 6 + 2 * lo)),
+                jnp.zeros((1, 1, 6 + 2 * l)),
+                jnp.ones((1, t), bool),
+            )
+        if self.wif is not None:
+            tc = m.ctx_len + (1 if m.include_self else 0)
+            c_raw = 3 + nl + m.num_obj + 1 + (1 if m.use_disocc else 0)
+            params["ii"] = self.wif.init(keys[2], jnp.zeros((1, tc, 1, hd, wd, c_raw)))
+        return params
+
+    # ------------------------------------------------------------------
+    # shared LVD pass (reference synthesizer.py:815-823 etc.)
+    # ------------------------------------------------------------------
+
+    def make_input(self, vid, lyt, flow):
+        m = self.cfg.model
+        parts = []
+        if m.input_rgb:
+            parts.append(vid)
+        if m.input_lyt:
+            parts.append(lyt)
+        if m.input_flow:
+            f = flow
+            if f.shape[-3:-1] != vid.shape[-3:-1]:
+                f = resize(f, shape=vid.shape[-3:-1])
+            parts.append(f)
+        return jnp.concatenate(parts, axis=-1)
+
+    def lvd_pass(self, pe_params, real_input, ctx_len, deterministic=True):
+        x = self.lvd.apply(pe_params, real_input, method="encode_input")
+        x_obj, x_bg, cls = self.lvd.apply(
+            pe_params, x[:, :ctx_len], method="estimate_layer", deterministic=deterministic
+        )
+        (obj_pose, bg_pose, occ_score, rest_o, rest_b, last_o, last_b) = self.lvd.apply(
+            pe_params, x, x_obj, x_bg, method="estimate_pose", deterministic=deterministic
+        )
+        return dict(
+            x=x, x_obj=x_obj, x_bg=x_bg, cls=cls,
+            obj_pose=obj_pose, bg_pose=bg_pose, occ_score=occ_score,
+            rest_obj=rest_o, rest_bg=rest_b, last_obj=last_o, last_bg=last_b,
+        )
+
+    def alpha_grid_occ(self, pe_params, x_obj, obj_pose, bg_pose, occ_score):
+        """reference lvd.py:126-135."""
+        obj_alpha = self.lvd.apply(pe_params, x_obj, method="decode_obj_alpha")
+        b = x_obj.shape[0]
+        bg_alpha = jnp.broadcast_to(self.bg_alpha, (b,) + self.bg_alpha.shape[1:])
+        grids = self.warper(obj_pose, bg_pose[:, :, 0])
+        occ = compute_occ(occ_score)
+        return occ, obj_alpha, bg_alpha, grids
+
+    def decode_output(self, real_input, grids, occ, obj_alpha, bg_alpha, cls,
+                      ctx_ts, pred_ts, restrict_to_ctx=None):
+        """reference lvd.py:141-153."""
+        m = self.cfg.model
+        if restrict_to_ctx is None:
+            restrict_to_ctx = m.restrict_to_ctx
+        flow, alpha_unflt, alpha, alpha_ctx, disocc = self.warper.grid_to_flow(
+            real_input, grids, occ, obj_alpha, bg_alpha, cls, ctx_ts, pred_ts,
+            restrict_to_ctx=restrict_to_ctx,
+        )
+        output, raw_output = self.warper.input_to_output(real_input, alpha_ctx, flow, ctx_ts)
+        raw_alpha = output[..., -1:]
+        if m.use_disocc:
+            if m.include_self:
+                disocc = jnp.concatenate([disocc, jnp.ones_like(disocc[:, :1])], axis=1)
+            raw_output = jnp.concatenate([raw_output, disocc], axis=-1)
+        output = output[..., :-1]
+        return output, flow, alpha_unflt, alpha, raw_alpha, raw_output, alpha_ctx
+
+    def _ctx_ts(self, b, t, rng=None):
+        """Context-time index tensor by ctx_mode (reference synthesizer.py:830-839)."""
+        m = self.cfg.model
+        if m.ctx_mode == "full":
+            ts = jnp.broadcast_to(jnp.arange(t)[None, :, None], (b, t, t))
+        elif m.ctx_mode in ("prev", "prev_rd"):
+            ts = jnp.roll(jnp.arange(t), 1)
+            ts = jnp.broadcast_to(ts[None, None, :], (b, 1, t))
+            if m.ctx_mode == "prev_rd":
+                rd = jax.random.randint(rng, (b, m.rd_ctx_num, t), 0, t)
+                ts = jnp.concatenate([ts, rd], axis=1)
+        else:
+            raise ValueError(m.ctx_mode)
+        return ts
+
+    # ------------------------------------------------------------------
+    # mode: vid_object_extractor (reference synthesizer.py:786-1076)
+    # ------------------------------------------------------------------
+
+    def extract_object_loss(self, pe_params, batch, rng, global_iter, is_img=False):
+        cfg, m = self.cfg, self.cfg.model
+        losses = m.vid_object_extractor_losses
+        vid, lyt, flow = batch["vid"], batch["lyt"], batch["flow"]
+        if is_img:
+            vid, lyt, flow = vid[:, None], lyt[:, None], flow[:, None]
+        b, t = vid.shape[:2]
+        ctx_len = 1 if is_img else m.ctx_len
+        metrics = {}
+        rng_drop, rng_ctx = jax.random.split(rng)
+
+        # input-modality dropout (synthesizer.py:797-812)
+        if m.drop_input_p > 0:
+            ks = jax.random.split(rng_drop, 3)
+            mul_rgb = jax.random.uniform(ks[0], (b, t)) > m.drop_input_p
+            mul_lyt = jax.random.uniform(ks[1], (b, t)) > m.drop_input_p
+            mul_flow = jax.random.uniform(ks[2], (b, t)) > m.drop_input_p
+            if m.input_rgb:
+                mul_rgb = ((~mul_flow) & (~mul_lyt) & (~mul_rgb)) | mul_rgb
+            elif m.input_flow:
+                mul_flow = ((~mul_flow) & (~mul_lyt)) | mul_flow
+            r = lambda x: x[:, :, None, None, None].astype(vid.dtype)
+            vid_in, lyt_in, flow_in = vid * r(mul_rgb), lyt * r(mul_lyt), flow * r(mul_flow)
+        else:
+            vid_in, lyt_in, flow_in = vid, lyt, flow
+
+        real_input = self.make_input(vid_in, lyt_in, flow_in)
+        p = self.lvd_pass(pe_params, real_input, ctx_len, deterministic=False)
+        occ, obj_alpha, bg_alpha, grids = self.alpha_grid_occ(
+            pe_params, p["x_obj"], p["obj_pose"], p["bg_pose"], p["occ_score"]
+        )
+
+        decode_input = jnp.concatenate([vid, lyt], axis=-1)
+        ctx_ts = self._ctx_ts(b, t, rng_ctx)
+        pred_ts = jnp.arange(t)
+        (rec_output, flow_full, alpha_unflt, alpha_flt, _raw_alpha, raw_output, _a) = (
+            self.decode_output(decode_input, grids, occ, obj_alpha, bg_alpha,
+                               p["cls"], ctx_ts, pred_ts, restrict_to_ctx=False)
+        )
+
+        # rec_flow: flow from previous frame (synthesizer.py:843-849)
+        if m.ctx_mode == "full":
+            ff = flow_full[:, :, 1:]  # B Tc T-1 ...
+            idx = jnp.arange(t - 1)
+            rec_flow = ff[:, idx, idx]  # diag: ctx=prev frame
+        else:
+            rec_flow = flow_full[:, 0, 1:]  # B T-1 Hd Wd 2
+
+        rec_vid, rec_lyt = rec_output[..., :3], rec_output[..., 3:]
+        rec_output_alpha = alpha_unflt  # (B,T,Hd,Wd,No+1)
+        output_alpha_flt = alpha_flt
+        if m.swap_flt:
+            rec_output_alpha = output_alpha_flt
+
+        nll = 0.0
+
+        # per-layer mean-flow consistency (synthesizer.py:864-870)
+        a = (rec_output_alpha[..., 1:] + 1) / 2 + 1e-6  # B T H W No
+        sum_a = a.sum(axis=(2, 3), keepdims=True)
+        mean_flow = jnp.einsum("bthwc,bthwn->btnc", flow, a) / jnp.moveaxis(
+            sum_a, -1, 2
+        ).reshape(b, t, -1, 1)
+        diff = jnp.abs(flow[:, :, :, :, None, :] - mean_flow[:, :, None, None])  # B T H W No 2
+        metrics["obj_flow"] = (a * diff.sum(-1)).mean()
+        if "obj_flow" in losses:
+            nll += metrics["obj_flow"] * m.lambda_obj_flow
+
+        # cluster activity (synthesizer.py:872-881)
+        cs = a - 1e-6
+        k = max(m.num_obj // 4, 1)
+        metrics["activity"] = _topk_mean(-cs.reshape(-1, m.num_obj).mean(0), k, 0).mean()
+        per_b = -cs.reshape(b, -1, m.num_obj).mean(1)  # B No
+        kb = max(b // 4, 1)
+        top_b = jax.lax.top_k(per_b.T, kb)[0].T  # kb No
+        metrics["topactivity"] = _topk_mean(top_b, k, 1).mean()
+        mul_img = m.img_mul_act_reg if is_img else 1.0
+        if "activity" in losses:
+            nll += metrics["activity"] * m.lambda_activity * mul_img
+        if "topactivity" in losses:
+            nll += metrics["topactivity"] * m.lambda_activity * mul_img
+
+        # entropies (synthesizer.py:883-905)
+        def entropy_of(alpha_pm1):
+            p01 = (alpha_pm1 + 1) / 2 + 1e-6
+            p01 = p01 / p01.sum(-1, keepdims=True)
+            return -(p01 * jnp.log(p01 + 1e-6)).sum(-1, keepdims=True) / 0.37
+
+        entropy = entropy_of(rec_output_alpha)
+        entropy_flt = entropy_of(output_alpha_flt)
+        lyt_edge_mask = (
+            gaussian_blur(lyt / 10 + 0.5, sigma=2.0, kernel_size=3).max(-1, keepdims=True)
+            > 0.999
+        ).astype(vid.dtype)
+        metrics["ent"] = entropy.mean()
+        metrics["ent_flt"] = entropy_flt.mean()
+        metrics["ent_flt_edge"] = (entropy_flt * lyt_edge_mask).mean()
+        if "ent" in losses:
+            nll += metrics["ent"] * m.lambda_ent
+        if "ent_flt" in losses:
+            nll += metrics["ent_flt"] * m.lambda_ent_flt
+        if "ent_flt_edge" in losses:
+            nll += metrics["ent_flt_edge"] * m.lambda_ent_flt_edge
+
+        # flow edges + moving-object supervision (synthesizer.py:907-963)
+        flow_edge, dominant = self.edge(flow)
+        flow_edge_bin = (flow_edge > m.flow_thresh).astype(vid.dtype)
+        fg_prop = (lyt[..., cfg.data.fg_idx] / 10 + 0.5).sum(-1, keepdims=True)
+        nofg_prop = 1 - fg_prop
+        bg_prop = (lyt[..., cfg.data.bg_idx] / 10 + 0.5).sum(-1, keepdims=True)
+        nobg_prop = 1 - bg_prop
+        nofg_flow = gaussian_blur(
+            jnp.concatenate([nofg_prop, nofg_prop * flow], axis=-1), m.blur_sigma
+        )
+        denom = nofg_flow[..., :1] + (nofg_flow[..., :1] == 0).astype(vid.dtype)
+        mean_bg_flow = nofg_flow[..., 1:] / denom
+        delta_flow = fg_prop * jnp.abs(flow - mean_bg_flow).sum(-1, keepdims=True)
+        mov_obj_mask = (delta_flow > m.mov_obj_thresh).astype(vid.dtype)
+        if m.use_dominant_flow_other:
+            other_prop = (lyt[..., cfg.data.other_idx] / 10 + 0.5).sum(-1, keepdims=True)
+            mov_obj_mask = jnp.maximum(mov_obj_mask, other_prop * dominant * flow_edge_bin)
+        if m.use_flow_nobg:
+            fm = (flow_edge_bin > 0.1) & (nobg_prop > 0)
+            mov_obj_mask = jnp.maximum(mov_obj_mask, fm.astype(vid.dtype))
+
+        fg_mask = ((rec_output_alpha[..., 1:] + 1) / 2).sum(-1, keepdims=True)
+        found_obj = -fg_mask
+        mov_obj = mov_obj_mask * 2 - 1
+        mov_obj = jnp.where(mov_obj < 0, mov_obj * m.reg_bg_mul, mov_obj)
+        if m.use_fg:
+            mov_obj = jnp.where((mov_obj < 0) & (fg_prop > 0), 0.0, mov_obj)
+        if m.use_nobg:
+            mov_obj = jnp.where((mov_obj < 0) & (nobg_prop > 0), 0.0, mov_obj)
+        if m.use_nobg_edge:
+            mov_obj = jnp.where(
+                (mov_obj < 0) & (nobg_prop > 0) & (flow_edge_bin > 0.1),
+                m.nobg_edge_mul, mov_obj,
+            )
+        if m.blur_alpha:
+            found_obj = gaussian_blur(found_obj, m.blur_sigma)
+            mov_obj = gaussian_blur(mov_obj, m.blur_sigma)
+        metrics["abs_mov"] = jnp.abs(mov_obj_mask - fg_mask).mean()
+        metrics["reg_mov"] = (mov_obj * found_obj).mean()
+        metrics["reg_fg"] = (-found_obj * (1 - fg_prop)).mean()
+        if "abs_mov" in losses:
+            nll += metrics["abs_mov"] * m.lambda_abs_mov
+        if "reg_mov" in losses:
+            wm, wi = m.warmup_reg_mov_mul, m.warmup_reg_mov_iter
+            mul = jnp.maximum(1.0, wm * (1 - global_iter / wi)) if wi > 0 else 1.0
+            nll += metrics["reg_mov"] * m.lambda_reg_mov * mul * mul_img
+        if "reg_fg" in losses:
+            nll += metrics["reg_fg"] * m.lambda_reg_fg
+
+        # control-point cell/center distances (synthesizer.py:965-984)
+        grid = self.warper.src_grid  # H W 2 at model resolution
+        hd_shape = vid.shape[2:4]
+        if grid.shape[:2] != hd_shape:
+            grid_hd = self.warper.src_grid_hd
+        else:
+            grid_hd = grid
+        ho_, wo_ = m.obj_shape
+        obj_grid = p["obj_pose"].reshape(b, t, m.num_obj, ho_, wo_, 2)
+        obj_cell = (
+            obj_grid[:, :, :, 1:, 1:] + obj_grid[:, :, :, 1:, :-1]
+            + obj_grid[:, :, :, :-1, 1:] + obj_grid[:, :, :, :-1, :-1]
+        ) / 4  # B T No ho-1 wo-1 2
+        obj_center = obj_grid.reshape(b, t, m.num_obj, -1, 2).mean(3)  # B T No 2
+        g2 = (grid_hd ** 2).sum(-1)  # H W
+
+        def sq_dist(pts):  # pts (..., 2) -> (..., H, W)
+            dot = jnp.einsum("...c,hwc->...hw", pts, grid_hd)
+            return g2[None] + (pts ** 2).sum(-1)[..., None, None] - 2 * dot
+
+        cell_dis = sq_dist(obj_cell.reshape(b, t, m.num_obj, -1, 2)).sum(3)  # B T No H W
+        center_dis = sq_dist(obj_center)  # B T No H W
+        mv = gaussian_blur(mov_obj_mask, m.blur_sigma) if m.blur_alpha else mov_obj_mask
+        fm = gaussian_blur(fg_mask, m.blur_sigma) if m.blur_alpha else fg_mask
+        mv_l = jnp.moveaxis(mv, -1, 2)  # B T 1 H W
+        fm_l = jnp.moveaxis(fm, -1, 2)
+        metrics["cell_dis"] = (
+            ((mv_l + m.cell_dis_eps) * (1 - fm_l) * cell_dis).min(axis=2).mean()
+        )
+        metrics["center_dis"] = (mv_l * center_dis).min(axis=2).mean()
+        if "cell_dis" in losses:
+            nll += metrics["cell_dis"] * m.lambda_cell_dis
+        if "center_dis" in losses:
+            nll += metrics["center_dis"] * m.lambda_center_dis
+
+        # flow reconstruction (synthesizer.py:986-997)
+        metrics["l1_flow"] = jnp.abs(flow[:, 1:] - rec_flow).mean()
+        if "l1_flow" in losses:
+            wm, wi = m.warmup_l1_flow_mul, m.warmup_l1_flow_iter
+            mul = jnp.minimum(float(wm), 1 + (wm - 1) * (global_iter / wi)) if wi > 0 else 1.0
+            nll += metrics["l1_flow"] * m.lambda_l1_flow * mul
+
+        # layout cross-entropy (synthesizer.py:999-1008)
+        tgt = jnp.argmax(lyt, axis=-1)
+        logp = jax.nn.log_softmax(rec_lyt, axis=-1)
+        ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        metrics["ce_lyt"] = ce.mean()
+        logp_obj = jax.nn.log_softmax(fg_mask * rec_lyt, axis=-1)
+        ce_obj = -jnp.take_along_axis(logp_obj, tgt[..., None], axis=-1)[..., 0]
+        metrics["ce_lyt_obj"] = (ce_obj * mov_obj_mask[..., 0]).mean()
+        soft_tgt = lyt / 10 + 0.5
+        metrics["soft_ce_lyt"] = (-(soft_tgt * logp).sum(-1)).mean()
+        if "ce_lyt" in losses:
+            nll += metrics["ce_lyt"] * m.lambda_ce_lyt
+        if "ce_lyt_obj" in losses:
+            nll += metrics["ce_lyt_obj"] * m.lambda_ce_lyt_obj
+        if "soft_ce_lyt" in losses:
+            nll += metrics["soft_ce_lyt"] * m.lambda_soft_ce_lyt
+
+        # pixel reconstruction (synthesizer.py:1010-1023)
+        metrics["sharp_vid"] = jnp.abs(rec_vid - vid).mean()
+        rv, fv = (vid, rec_vid)
+        if m.blur_pxl:
+            rv = gaussian_blur(vid, m.blur_sigma)
+            fv = gaussian_blur(rec_vid, m.blur_sigma)
+        pxl = rv - fv
+        pxl = (
+            jnp.abs(pxl).reshape(b, -1).mean(-1)
+            if m.l1_pxl
+            else (pxl ** 2).reshape(b, -1).mean(-1)
+        )
+        metrics["pxl_vid"] = pxl.mean()
+        if "pxl_vid" in losses:
+            mul = (
+                jnp.minimum(1.0, global_iter / m.warmup_pxl_vid_iter)
+                if m.warmup_pxl_vid_iter > 0 else 1.0
+            )
+            if m.cosine_warmup_pxl_vid:
+                mul = jnp.sin(mul * math.pi / 2)
+            nll += metrics["pxl_vid"] * m.lambda_pxl_vid * mul
+        if "sharp_vid" in losses:
+            mul = (
+                jnp.minimum(1.0, global_iter / m.warmup_sharp_vid_iter)
+                if m.warmup_sharp_vid_iter > 0 else 1.0
+            )
+            nll += metrics["sharp_vid"] * m.lambda_sharp_vid * mul
+
+        # grid regularization + rest-pose (synthesizer.py:1025-1052)
+        metrics["pts_reg_obj"] = compute_pts_regularization(p["obj_pose"], *m.obj_shape)
+        if "pts_reg_obj" in losses:
+            nll += metrics["pts_reg_obj"] * m.lambda_pts_reg
+        if m.has_bg:
+            metrics["pts_reg_bg"] = compute_pts_regularization(p["bg_pose"], *m.latent_shape)
+            if "pts_reg_bg" in losses:
+                nll += metrics["pts_reg_bg"] * m.lambda_pts_reg
+
+        rest_o, rest_b = p["rest_obj"], p["rest_bg"]
+        if m.ada_pts_rest:
+            metrics["pts_rest_obj"] = (rest_o * pxl[:, None]).mean()
+        elif m.ada_pts_rest_detach:
+            metrics["pts_rest_obj"] = (rest_o * jax.lax.stop_gradient(pxl)[:, None]).mean()
+        else:
+            metrics["pts_rest_obj"] = rest_o.mean()
+        if m.has_bg and not m.fix_bg:
+            if m.ada_pts_rest:
+                metrics["pts_rest_bg"] = (rest_b * pxl[:, None]).mean()
+            elif m.ada_pts_rest_detach:
+                metrics["pts_rest_bg"] = (rest_b * jax.lax.stop_gradient(pxl)[:, None]).mean()
+            else:
+                metrics["pts_rest_bg"] = rest_b.mean()
+        if "pts_rest_obj" in losses:
+            nll += metrics["pts_rest_obj"] * m.lambda_pts_rest
+        if "pts_rest_bg" in losses and "pts_rest_bg" in metrics:
+            nll += metrics["pts_rest_bg"] * m.lambda_pts_rest
+
+        metrics["loss"] = nll
+        return nll, metrics
+
+    # ------------------------------------------------------------------
+    # mode: vid_pose_generator (reference synthesizer.py:681-783)
+    # ------------------------------------------------------------------
+
+    def generate_pose_loss(self, pg_params, pe_params, batch, rng, global_iter):
+        cfg, m = self.cfg, self.cfg.model
+        losses = m.vid_pose_generator_losses
+        vid, lyt, flow = batch["vid"], batch["lyt"], batch["flow"]
+        b, t = vid.shape[:2]
+        ctx_len = m.ctx_len
+        metrics = {}
+
+        rng_ctx, rng_net = jax.random.split(rng)
+        ctx_size = jax.random.randint(
+            rng_ctx, (b, 1), m.min_ctx_length_vid, m.max_ctx_length_vid + 1
+        )
+        ctx_mask = jnp.arange(t)[None, :] < ctx_size  # (B, T)
+
+        # frozen LVD teacher
+        real_input = self.make_input(vid, lyt, flow)
+        p = jax.lax.stop_gradient(self.lvd_pass(pe_params, real_input, ctx_len))
+
+        pred_obj, pred_bg, pred_occ = self.flp.apply(
+            pg_params, p["obj_pose"], p["bg_pose"], p["occ_score"], p["x_obj"],
+            p["x_bg"], p["last_obj"], p["last_bg"], ctx_mask,
+            deterministic=False, rngs={"noise": rng_net},
+        )
+
+        pm = ~ctx_mask
+        metrics["rec_obj_pose"] = _masked_mean(
+            jnp.abs(p["obj_pose"] - pred_obj), pm[:, :, None, None, None]
+        )
+        metrics["rec_bg_pose"] = _masked_mean(
+            jnp.abs(p["bg_pose"] - pred_bg), pm[:, :, None, None, None]
+        )
+        metrics["rec_occ_score"] = _masked_mean(
+            jnp.abs(p["occ_score"] - pred_occ), pm[:, :, None]
+        )
+        nll = 0.0
+        if "rec_obj_pose" in losses:
+            nll += metrics["rec_obj_pose"] * m.lambda_rec_obj_pose
+        if "rec_bg_pose" in losses:
+            nll += metrics["rec_bg_pose"] * m.lambda_rec_bg_pose
+        if "rec_occ_score" in losses:
+            nll += metrics["rec_occ_score"] * m.lambda_rec_occ_score
+        metrics["loss"] = nll
+        return nll, metrics
+
+    # ------------------------------------------------------------------
+    # mode: vid_inpainting (reference synthesizer.py:505-637)
+    # ------------------------------------------------------------------
+
+    def inpaint_loss(self, ii_params, pe_params, batch, rng, global_iter):
+        cfg, m = self.cfg, self.cfg.model
+        losses = m.vid_inpainting_losses
+        vid, lyt, flow = batch["vid"], batch["lyt"], batch["flow"]
+        b, t = vid.shape[:2]
+        ctx_len = m.ctx_len
+        metrics = {}
+
+        real_input = self.make_input(vid, lyt, flow)
+        p = jax.lax.stop_gradient(self.lvd_pass(pe_params, real_input, ctx_len))
+        occ, obj_alpha, bg_alpha, grids = self.alpha_grid_occ(
+            pe_params, p["x_obj"], p["obj_pose"], p["bg_pose"], p["occ_score"]
+        )
+        occ, obj_alpha, bg_alpha = jax.lax.stop_gradient((occ, obj_alpha, bg_alpha))
+        grids = jax.lax.stop_gradient(grids)
+
+        decode_input = jnp.concatenate([vid, lyt], axis=-1)
+        ctx_ts = jnp.broadcast_to(
+            jnp.arange(ctx_len)[None, :, None], (b, ctx_len, t - ctx_len)
+        )
+        pred_ts = jnp.arange(ctx_len, t)
+        out = jax.lax.stop_gradient(
+            self.decode_output(decode_input, grids, occ, obj_alpha, bg_alpha,
+                               p["cls"], ctx_ts, pred_ts, restrict_to_ctx=False)
+        )
+        rec_output, raw_output = out[0], out[5]
+        rec_vid = rec_output[..., :3]
+
+        inp = self.wif.apply(ii_params, raw_output)  # (B, Tp, Hd, Wd, 3)
+        tgt = vid[:, ctx_len:]
+        metrics["sharp_vid"] = jnp.abs(inp - tgt).mean()
+        metrics["sharp_rec"] = jnp.abs(rec_vid - tgt).mean()
+        metrics["sharp_delta"] = metrics["sharp_vid"] - metrics["sharp_rec"]
+        nll = 0.0
+        if "sharp_vid" in losses:
+            nll += metrics["sharp_vid"] * m.lambda_sharp_vid
+        if "lpips_vid" in losses and self.lpips is not None:
+            metrics["lpips_vid"] = self.lpips(inp, tgt).mean()
+            nll += metrics["lpips_vid"] * m.lambda_lpips_vid
+        metrics["loss"] = nll
+        return nll, metrics
+
+    # ------------------------------------------------------------------
+    # mode: vid_prediction (reference synthesizer.py:416-502)
+    # ------------------------------------------------------------------
+
+    def predict(self, params, batch, deterministic=True):
+        """Full pipeline inference. Returns dict of videos (B,T*,H,W,3)."""
+        cfg, m = self.cfg, self.cfg.model
+        vid, lyt, flow = batch["vid"], batch["lyt"], batch["flow"]
+        b, t = vid.shape[:2]
+        ctx_len = m.ctx_len
+
+        real_input = self.make_input(vid, lyt, flow)
+        p = self.lvd_pass(params["pe"], real_input, ctx_len)
+        occ, obj_alpha, bg_alpha, grids = self.alpha_grid_occ(
+            params["pe"], p["x_obj"], p["obj_pose"], p["bg_pose"], p["occ_score"]
+        )
+
+        decode_input = jnp.concatenate([vid, lyt], axis=-1)
+        ctx_ts = jnp.broadcast_to(jnp.arange(ctx_len)[None, :, None], (b, ctx_len, t))
+        if m.last_n_ctx > 0:
+            ctx_ts = ctx_ts[:, -m.last_n_ctx:]
+        pred_ts = jnp.arange(t)
+        rec_output, _, _, _, _, raw_output, alpha_ctx = self.decode_output(
+            decode_input, grids, occ, obj_alpha, bg_alpha, p["cls"], ctx_ts, pred_ts,
+            restrict_to_ctx=m.restrict_to_ctx,
+        )
+        rec_vid = rec_output[..., :3]
+        out = {"real_vid": vid, "rec_vid": rec_vid}
+
+        if m.use_ii:
+            out["inp_rec_vid"] = self.wif.apply(params["ii"], raw_output)
+
+        if m.use_pg and not m.no_future:
+            ctx_mask = jnp.arange(t)[None, :] < ctx_len
+            ctx_mask = jnp.broadcast_to(ctx_mask, (b, t))
+            pred_obj, pred_bg, pred_occ = self.flp.apply(
+                params["pg"], p["obj_pose"], p["bg_pose"], p["occ_score"],
+                p["x_obj"], p["x_bg"], p["last_obj"], p["last_bg"], ctx_mask,
+                deterministic=deterministic,
+            )
+            occ2, obj_alpha2, bg_alpha2, grids2 = self.alpha_grid_occ(
+                params["pe"], p["x_obj"], pred_obj, pred_bg, pred_occ
+            )
+            pred_ts2 = jnp.arange(ctx_len, t)
+            ctx_ts2 = jnp.broadcast_to(
+                jnp.arange(ctx_len)[None, :, None], (b, ctx_len, t - ctx_len)
+            )
+            pred_output, pred_flow, _, alpha2, _, raw_output2, alpha_ctx2 = (
+                self.decode_output(decode_input, grids2, occ2, obj_alpha2, bg_alpha2,
+                                   p["cls"], ctx_ts2, pred_ts2,
+                                   restrict_to_ctx=m.restrict_to_ctx)
+            )
+            pred_vid = jnp.concatenate([vid[:, :ctx_len], pred_output[..., :3]], axis=1)
+            out["pred_vid"] = pred_vid
+            if m.use_ii:
+                inp_pred = self.wif.apply(params["ii"], raw_output2)
+                out["inp_pred_vid"] = jnp.concatenate([vid[:, :ctx_len], inp_pred], axis=1)
+            out["pred_flow"] = pred_flow
+            out["pred_grids"] = grids2
+            out["pred_alpha"] = alpha2
+            out["pred_alpha_ctx"] = alpha_ctx2
+        return out

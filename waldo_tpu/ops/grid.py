@@ -13,13 +13,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def get_grid(height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Pixel-center normalized grid, shape (H, W, 2), last axis = (x, y)."""
+def get_grid(height: int, width: int, dtype=np.float32) -> np.ndarray:
+    """Pixel-center normalized grid, shape (H, W, 2), last axis = (x, y).
+
+    Returned as a host numpy array: these are compile-time constants that
+    jnp consumers constant-fold; keeping them off-device avoids transfers in
+    constructors."""
     x = np.linspace(-1.0 + 1.0 / width, 1.0 - 1.0 / width, width, dtype=np.float32)
     y = np.linspace(-1.0 + 1.0 / height, 1.0 - 1.0 / height, height, dtype=np.float32)
     xx = np.broadcast_to(x[None, :], (height, width))
     yy = np.broadcast_to(y[:, None], (height, width))
-    return jnp.asarray(np.stack([xx, yy], axis=-1), dtype=dtype)
+    return np.stack([xx, yy], axis=-1).astype(dtype)
 
 
 def get_gaussian_kernel(k: int, sigma_div: float = 6.0) -> jnp.ndarray:
@@ -31,7 +35,7 @@ def get_gaussian_kernel(k: int, sigma_div: float = 6.0) -> jnp.ndarray:
     g1 = np.exp(-((coords - mean) ** 2) / (2 * var))
     g = np.outer(g1, g1) / (2.0 * math.pi * var)
     g = g / g.sum()
-    return jnp.asarray(g, dtype=jnp.float32)
+    return g.astype(np.float32)
 
 
 def get_circle(shape, p: float = 1.0) -> jnp.ndarray:
@@ -40,4 +44,4 @@ def get_circle(shape, p: float = 1.0) -> jnp.ndarray:
     x = np.abs(np.arange(w)[None, :] - w / 2)
     y = np.abs(np.arange(h)[:, None] - h / 2)
     r = np.sqrt(x ** 2 + y ** 2)
-    return jnp.asarray((r < p * min(h, w) / 2).astype(np.float32))
+    return (r < p * min(h, w) / 2).astype(np.float32)

@@ -49,7 +49,7 @@ class TPSWarp:
         fk[-2:, :n] = tgt_pts.T
         inverse_kernel = np.linalg.inv(fk)
 
-        tgt_grid = np.asarray(get_grid(tgt_height, tgt_width)).reshape(-1, 2).astype(np.float64)
+        tgt_grid = get_grid(tgt_height, tgt_width).reshape(-1, 2).astype(np.float64)
         partial_repr = _kernel_distance_np(tgt_grid, tgt_pts)
         tgt_grid_repr = np.concatenate(
             [partial_repr, np.ones((tgt_grid.shape[0], 1)), tgt_grid], axis=1

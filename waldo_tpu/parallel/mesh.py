@@ -1,0 +1,82 @@
+"""Device mesh + sharding — the TPU-native distributed runtime.
+
+Replaces the reference's NCCL/DDP Engine (tools/engine.py:16-111): instead of
+wrapping modules in DDP and hand-calling allreduce/allgather, we lay batches
+out over a `jax.sharding.Mesh` ("data" axis over ICI; extend `mesh_shape` /
+`mesh_axes` in the config for model axes) and jit the whole train step with
+sharded inputs — XLA inserts the gradient psums over ICI automatically.
+Multi-host bring-up mirrors Engine's SLURM detection: call
+`init_distributed()` once per process before any jax op.
+
+The NaN-vote allgather of the reference (synthesizer.py:1057) is free here:
+the loss is a global (replicated) scalar under pjit, so a single
+jnp.isfinite gives every host the same verdict.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed() -> None:
+    """Multi-host init (reference tools/engine.py:16-36 analogue).
+
+    Under SLURM / TPU pods jax.distributed discovers coordinator+rank from
+    the environment. Safe no-op for single-process runs."""
+    if int(os.environ.get("WALDO_MULTIHOST", "0")):
+        jax.distributed.initialize()
+
+
+def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    devices = jax.devices()
+    if mesh_shape is None:
+        mesh_shape = [len(devices)] + [1] * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+@dataclass
+class MeshContext:
+    mesh: Mesh
+
+    @property
+    def batch_sharding(self) -> NamedSharding:
+        spec = [None] * 1
+        return NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def shard_batch(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    def replicate(self, tree):
+        return replicate(tree, self.mesh)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = None):
+    """Place a host-local numpy batch with the leading axis split over the mesh.
+
+    Multi-host: each process contributes its local shard of the global batch
+    (make_array_from_process_local_data assembles the global view)."""
+    axis = axis or mesh.axis_names[0]
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, batch, is_leaf=lambda x: isinstance(x, (np.ndarray, list)))
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

@@ -1,0 +1,88 @@
+"""Inference/eval loop (re-design of reference helpers/synthesizer_evaluator.py:35-77).
+
+Runs `vid_prediction` over the eval split, dumps real/rec/pred/inp_pred
+videos as mp4 under results/<signature>/ (reference synthesizer.py:403-411)
+and aggregates scalar metrics.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data import create_dataset, DataLoader
+from ..models import Synthesizer
+from ..parallel import make_mesh, shard_batch, replicate, init_distributed
+from .checkpoint import CheckpointManager
+
+
+def save_video_frames(vid: np.ndarray, path: str, fps: int = 4):
+    """vid (T, H, W, 3) in [-1,1] -> mp4 (via imageio/PIL fallback to .npz)."""
+    arr = ((np.clip(vid, -1, 1) + 1) / 2 * 255).astype(np.uint8)
+    try:
+        import imageio.v2 as imageio
+
+        imageio.mimwrite(path, list(arr), fps=fps, macro_block_size=1)
+    except Exception:
+        # fallback: frame folder of PNGs next to the intended mp4
+        import PIL.Image
+
+        folder = path[:-4]
+        os.makedirs(folder, exist_ok=True)
+        for t, frame in enumerate(arr):
+            PIL.Image.fromarray(frame).save(os.path.join(folder, f"{t:03d}.png"))
+
+
+class Evaluator:
+    def __init__(self, cfg: Config):
+        init_distributed()
+        self.cfg = cfg
+        self.mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axes))
+        self.syn = Synthesizer(cfg)
+        self.ckpt = CheckpointManager(cfg.checkpoint_path)
+        params = self.syn.init_params(jax.random.PRNGKey(cfg.seed))
+        m = cfg.model
+        for label, load_path, which in [
+            ("pe", m.load_path, m.which_iter),
+            ("pg", m.pg_load_path, m.pg_iter),
+            ("ii", m.ii_load_path, m.ii_iter),
+        ]:
+            if label in params and (load_path is not None):
+                params[label] = self.ckpt.restore(label, params[label],
+                                                  which=which or "latest",
+                                                  load_path=load_path)
+        self.params = replicate(params, self.mesh)
+        self._predict = jax.jit(lambda p, b: self.syn.predict(p, b))
+
+    def run(self, dump: bool = True, max_batches: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        ds = create_dataset(cfg, phase=cfg.data.eval_phase)
+        loader = DataLoader(ds, cfg.batch_size_vid, shuffle=False,
+                            num_workers=cfg.data.num_workers)
+        os.makedirs(cfg.result_path, exist_ok=True)
+        metrics = {}
+        for i, batch in enumerate(loader):
+            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            arrays = shard_batch(arrays, self.mesh)
+            out = jax.device_get(self._predict(self.params, arrays))
+            if dump:
+                for name in ["real_vid", "rec_vid", "pred_vid", "inp_rec_vid", "inp_pred_vid"]:
+                    if name not in out:
+                        continue
+                    folder = os.path.join(cfg.result_path, name)
+                    os.makedirs(folder, exist_ok=True)
+                    vids = out[name]
+                    for b in range(vids.shape[0]):
+                        vid_id = i * vids.shape[0] + b
+                        save_video_frames(
+                            vids[b], os.path.join(folder, f"vid_{vid_id:05d}.mp4"),
+                            fps=4,
+                        )
+            err = np.abs(out["pred_vid"] - out["real_vid"]).mean() if "pred_vid" in out else np.nan
+            metrics.setdefault("l1_pred", []).append(float(err))
+            if max_batches is not None and i + 1 >= max_batches:
+                break
+        return {k: float(np.mean(v)) for k, v in metrics.items()}
