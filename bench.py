@@ -48,8 +48,9 @@ def main():
     fps = pred_frames / dt
     base = float(os.environ.get("WALDO_BASELINE_FPS", "0") or 0)
     vs = fps / base if base > 0 else 0.0
+    out_h = load_dim if load_dim > 0 else dim
     print(json.dumps({
-        "metric": f"pred_frames_per_sec_per_chip(cityscapes {load_dim}x{load_dim*2}, {vid_len}-frame rollout)",
+        "metric": f"pred_frames_per_sec_per_chip(cityscapes {out_h}x{out_h*2}, {vid_len}-frame rollout)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3),

@@ -37,10 +37,19 @@ def _masked_mean(x, mask):
 
 
 def compute_pts_regularization(pose, num_h, num_w):
-    """Control-point grid smoothness (reference synthesizer.py:1121-1125)."""
+    """Control-point grid smoothness (reference synthesizer.py:1121-1125).
+
+    Grids with no interior points along an axis contribute 0 (the reference
+    would NaN on such degenerate shapes; its released configs are 4x4+)."""
     pts = pose.reshape(-1, num_h, num_w, 2)
-    reg_h = ((pts[:, 1:-1] - 0.5 * (pts[:, 2:] + pts[:, :-2])) ** 2).mean()
-    reg_w = ((pts[:, :, 1:-1] - 0.5 * (pts[:, :, 2:] + pts[:, :, :-2])) ** 2).mean()
+    reg_h = (
+        ((pts[:, 1:-1] - 0.5 * (pts[:, 2:] + pts[:, :-2])) ** 2).mean()
+        if num_h >= 3 else 0.0
+    )
+    reg_w = (
+        ((pts[:, :, 1:-1] - 0.5 * (pts[:, :, 2:] + pts[:, :, :-2])) ** 2).mean()
+        if num_w >= 3 else 0.0
+    )
     return reg_h + reg_w
 
 
