@@ -1,0 +1,33 @@
+#!/bin/bash
+# FLP training on Cityscapes (reference scripts/cityscapes/train_flp.sh).
+# Usage: train_flp.sh LVD_TAG
+LVD_TAG=$1
+
+python -m waldo_tpu.cli.train \
+ --name train_flp_cityscapes \
+ --dataset cityscapes --dim 128 --true_dim 128 \
+ --data.vid_len 14 --data.num_workers 16 --data.shuffle_valid true \
+ --num_iter 1000000 --num_iter_eval 10000 --save_latest_freq 1000 --log_freq 10000 \
+ --s_patch_size 16 --s_latent_shape 8,16 --s_embed_dim 512 --s_num_obj 16 \
+ --s_use_pe true --s_use_pg true --s_oe_num_timesteps 5 --s_pg_num_timesteps 14 \
+ --vid_modes vid_pose_generator \
+ --s_vid_pose_generator_losses "rec_obj_pose rec_bg_pose rec_occ_score" \
+ --batch_size_vid 4 --max_batch_eval_vid 32 --vid_metric loss \
+ --s_oe_depth 2 --s_pe_depth 2 --s_bound_rest true --s_soft_bound_rest true \
+ --s_pe_decoder_init_mode five --s_has_bg true \
+ --s_pe_estimator_init_mode zero --s_pad_obj_alpha 3 --s_pad_bg_alpha 3 \
+ --s_init_scale_obj 0.25 --s_mul_scale_obj 0.25 --s_mul_delta_obj 0.2 \
+ --s_circle_translate_bias true --s_circle_translate_radius 0.2 \
+ --data.skip_first true --s_ctx_len 4 --data.load_lyt true --data.load_flow true \
+ --s_input_lyt true --s_input_flow true --s_input_rgb false \
+ --data.remap_lyt "13 19 18 19 7 6 8 6" --s_reg_bg_mul 0.25 \
+ --data.max_zoom 1.3 --data.no_v_flip false \
+ --data.colorjitter 0.5 --data.colorjitter_no_contrast true \
+ --s_pred_cls true --s_weight_cls true --s_min_cls 0.1 \
+ --s_which_iter latest --s_load_path "checkpoints/${LVD_TAG}" \
+ --s_ctx_mode prev --s_bg_mul 1.2 \
+ --s_min_ctx_length_vid 4 --s_max_ctx_length_vid 4 \
+ --s_unconstrained_pose_decoder true --s_lambda_rec_occ_score 0.01 \
+ --s_edge_size 15 --s_flow_thresh 0.02 \
+ --s_use_last_pose_decoder true --s_bg_mul_pose_decoder 1.2 \
+ "${@:2}"
