@@ -67,11 +67,25 @@ class Synthesizer:
         self.lvd = LVDNet(cfg) if m.use_pe else None
         self.flp = FLPNet(cfg) if m.use_pg else None
         self.wif = WIFNet(cfg) if m.use_ii else None
+        # discriminator only when the GAN path is on (fixes the reference
+        # defect of referencing a never-constructed net_id, synthesizer.py:165)
+        from ..nn.gan import Discriminator, get_gan_loss
+
+        self.use_gan = m.use_id or any(
+            l in ("adv", "dis") for l in m.vid_inpainting_losses
+        )
+        self.disc = Discriminator() if self.use_gan else None
+        self.gan_g_loss, self.gan_d_loss = get_gan_loss("hinge")
         self.warper = Warper(cfg)
         self.edge = EdgeExtractor(kernel_size=m.edge_size)
         self.bg_alpha = bg_alpha_buffer(cfg)
-        # perceptual loss is optional: enabled when converted VGG weights exist
+        # perceptual loss is optional: enabled when converted LPIPS weights
+        # exist on disk (see eval/lpips.py; no egress in this environment)
         self.lpips = None
+        if "lpips_vid" in m.vid_inpainting_losses and m.use_ii:
+            from ..eval.lpips import LPIPS
+
+            self.lpips = LPIPS.maybe_load("vgg")
 
     # ------------------------------------------------------------------
     # initialization
@@ -108,6 +122,9 @@ class Synthesizer:
             tc = m.ctx_len + (1 if m.include_self else 0)
             c_raw = 3 + nl + m.num_obj + 1 + (1 if m.use_disocc else 0)
             params["ii"] = self.wif.init(keys[2], jnp.zeros((1, tc, 1, hd, wd, c_raw)))
+        if self.disc is not None:
+            params["id"] = self.disc.init(jax.random.fold_in(rng, 7),
+                                          jnp.zeros((1, hd, wd, 3)))
         return params
 
     # ------------------------------------------------------------------
@@ -511,7 +528,7 @@ class Synthesizer:
     # mode: vid_inpainting (reference synthesizer.py:505-637)
     # ------------------------------------------------------------------
 
-    def inpaint_loss(self, ii_params, pe_params, batch, rng, global_iter):
+    def inpaint_loss(self, ii_params, pe_params, batch, rng, global_iter, id_params=None):
         cfg, m = self.cfg, self.cfg.model
         losses = m.vid_inpainting_losses
         vid, lyt, flow = batch["vid"], batch["lyt"], batch["flow"]
@@ -550,8 +567,45 @@ class Synthesizer:
         if "lpips_vid" in losses and self.lpips is not None:
             metrics["lpips_vid"] = self.lpips(inp, tgt).mean()
             nll += metrics["lpips_vid"] * m.lambda_lpips_vid
+        if "adv" in losses and id_params is not None:
+            d_fake = self.disc.apply(jax.lax.stop_gradient(id_params), inp[:, 0])
+            metrics["adv"] = self.gan_g_loss(d_fake)
+            nll += metrics["adv"] * m.lambda_adv
         metrics["loss"] = nll
         return nll, metrics
+
+    def discriminate_loss(self, id_params, ii_params, pe_params, batch, rng, global_iter):
+        """Discriminator step (reference synthesizer.py:640-678)."""
+        m = self.cfg.model
+        vid = batch["vid"]
+        ctx_len = m.ctx_len
+        inp = jax.lax.stop_gradient(self._fused_frame(ii_params, pe_params, batch, rng))
+        real = vid[:, ctx_len]
+        d_real = self.disc.apply(id_params, real)
+        d_fake = self.disc.apply(id_params, inp)
+        dis = self.gan_d_loss(d_real, d_fake)
+        out = {"dis": dis, "real_score": d_real.mean(), "fake_score": d_fake.mean(),
+               "loss": dis * m.lambda_dis}
+        return out["loss"], out
+
+    def _fused_frame(self, ii_params, pe_params, batch, rng):
+        m = self.cfg.model
+        vid, lyt, flow = batch["vid"], batch["lyt"], batch["flow"]
+        b, t = vid.shape[:2]
+        ctx_len = m.ctx_len
+        real_input = self.make_input(vid, lyt, flow)
+        p = self.lvd_pass(pe_params, real_input, ctx_len)
+        occ, obj_alpha, bg_alpha, grids = self.alpha_grid_occ(
+            pe_params, p["x_obj"], p["obj_pose"], p["bg_pose"], p["occ_score"]
+        )
+        decode_input = jnp.concatenate([vid, lyt], axis=-1)
+        ctx_ts = jnp.broadcast_to(
+            jnp.arange(ctx_len)[None, :, None], (b, ctx_len, t - ctx_len)
+        )
+        pred_ts = jnp.arange(ctx_len, t)
+        out = self.decode_output(decode_input, grids, occ, obj_alpha, bg_alpha,
+                                 p["cls"], ctx_ts, pred_ts, restrict_to_ctx=False)
+        return self.wif.apply(ii_params, out[5])[:, 0]
 
     # ------------------------------------------------------------------
     # mode: vid_prediction (reference synthesizer.py:416-502)

@@ -14,22 +14,83 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_IMPL = "xla"  # "xla" | "pallas"
+_IMPL = "auto"  # "auto" | "gather" | "mxu" | "pallas"
+
+# The matmul formulation costs H*W MACs per output pixel *per channel*,
+# while gathers amortize the 4 corner fetches across all channels of a
+# pixel; measured crossover on v5e: gathers ~47ns/px (C=1), MXU f32
+# ~HW/1.1e13 s/px/ch. Use MXU only for few-channel sources below the
+# pixel-count crossover.
+_MXU_MAX_SRC = 1 << 19
+_MXU_MAX_CHAN = 4
 
 
 def set_impl(name: str) -> None:
     global _IMPL
-    assert name in ("xla", "pallas")
+    assert name in ("auto", "gather", "mxu", "pallas")
     _IMPL = name
 
 
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Sample img (B,H,W,C) at grid (B,Ho,Wo,2) -> (B,Ho,Wo,C)."""
-    if _IMPL == "pallas":
+    impl = _IMPL
+    if impl == "auto":
+        src = img.shape[-3] * img.shape[-2]
+        impl = (
+            "mxu"
+            if (src <= _MXU_MAX_SRC and img.shape[-1] <= _MXU_MAX_CHAN)
+            else "gather"
+        )
+    if impl == "pallas":
         from .pallas.grid_sample import grid_sample_pallas
 
         return grid_sample_pallas(img, grid)
+    if impl == "mxu":
+        return grid_sample_mxu(img, grid)
     return grid_sample_ref(img, grid)
+
+
+def _hat(pos, n, dtype):
+    """Bilinear hat weights (P, n): relu(1 - |pos - arange(n)|).
+
+    Rows for out-of-range positions decay to all-zero, which reproduces
+    torch grid_sample zero padding exactly (including the partial-weight
+    boundary band)."""
+    idx = jnp.arange(n, dtype=dtype)
+    return jax.nn.relu(1.0 - jnp.abs(pos[:, None] - idx[None, :]))
+
+
+def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling as two matmuls (TPU MXU path).
+
+    out[p, c] = sum_y sum_x hat(iy_p, y) * hat(ix_p, x) * img[y, x, c]
+    computed as M = Ry @ img (contracting y) followed by a row-wise
+    contraction with Rx — all FLOPs land on the systolic array instead of
+    the scalar gather unit (measured ~20x faster at 128x256 sources)."""
+    b, h, w, c = img.shape
+    gb, gh, gw, _ = grid.shape
+    p = gh * gw
+    dtype = img.dtype
+
+    ix = (grid[..., 0].reshape(b, p) + 1.0) * (w * 0.5) - 0.5
+    iy = (grid[..., 1].reshape(b, p) + 1.0) * (h * 0.5) - 0.5
+
+    def one(im, ixb, iyb):
+        ry = _hat(iyb, h, dtype)  # (P, H)
+        rx = _hat(ixb, w, dtype)  # (P, W)
+        # float32 precision: the default bf16 passes round warp values to
+        # ~4e-3, far too coarse for flow fields; float32 is exact (1e-7)
+        # and still ~15x faster than the gather path.
+        m = jax.lax.dot_general(
+            ry, im.reshape(h, w * c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision="float32",
+        ).reshape(p, w, c)
+        return (m * rx[:, :, None]).sum(axis=1)
+
+    out = jax.vmap(one)(img, ix, iy)
+    return out.reshape(b, gh, gw, c).astype(dtype)
 
 
 def grid_sample_ref(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
