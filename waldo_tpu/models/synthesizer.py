@@ -668,4 +668,5 @@ class Synthesizer:
             out["pred_grids"] = grids2
             out["pred_alpha"] = alpha2
             out["pred_alpha_ctx"] = alpha_ctx2
+            out["pred_raw_output"] = raw_output2
         return out

@@ -56,6 +56,11 @@ class Evaluator:
                                                   load_path=load_path)
         self.params = replicate(params, self.mesh)
         self._predict = jax.jit(lambda p, b: self.syn.predict(p, b))
+        self.inpainter = None
+        if cfg.model.use_inpainter and cfg.model.use_mat_inpainter:
+            from ..models.mat import MatInpainter
+
+            self.inpainter = MatInpainter(cfg.model.inpainter_path)
 
     def run(self, dump: bool = True, max_batches: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
@@ -67,7 +72,22 @@ class Evaluator:
         for i, batch in enumerate(loader):
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
             arrays = shard_batch(arrays, self.mesh)
-            out = jax.device_get(self._predict(self.params, arrays))
+            out_dev = dict(self._predict(self.params, arrays))
+            if self.inpainter is not None and "pred_grids" in out_dev:
+                from ..models.mat_pipeline import inpaint_with_mat
+
+                out_dev["inp_pred_vid"] = inpaint_with_mat(
+                    cfg, self.syn.warper,
+                    lambda r: self.syn.wif.apply(self.params["ii"], r),
+                    self.inpainter,
+                    out_dev["pred_raw_output"], out_dev["pred_alpha"],
+                    out_dev["pred_alpha_ctx"], arrays["vid"],
+                    out_dev["pred_flow"], cfg.model.ctx_len, out_dev["pred_grids"],
+                )
+            for k in ("pred_grids", "pred_raw_output", "pred_alpha",
+                      "pred_alpha_ctx", "pred_flow"):
+                out_dev.pop(k, None)
+            out = jax.device_get(out_dev)
             if dump:
                 for name in ["real_vid", "rec_vid", "pred_vid", "inp_rec_vid", "inp_pred_vid"]:
                     if name not in out:
