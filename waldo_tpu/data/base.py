@@ -152,17 +152,35 @@ class BaseVideoDataset:
         return np.ascontiguousarray(a)
 
     def load_rgb(self, path: str, aug: AugmentParams) -> np.ndarray:
-        img = np.asarray(PIL.Image.open(path).convert("RGB"), np.float32) / 255.0
+        from . import native
+
+        raw = np.asarray(PIL.Image.open(path).convert("RGB"))
+        if aug.jitter is None and native.available():
+            size = (self.dim, int(self.dim * self.cfg.aspect_ratio))
+            out = native.rgb_transform(raw, aug.top_crop, aug.left_crop,
+                                       aug.h_crop, aug.w_crop, size[0], size[1],
+                                       flip_x=aug.v_flip, flip_y=aug.h_flip)
+            return out
+        img = raw.astype(np.float32) / 255.0
         if aug.jitter is not None:
             img = _color_jitter(img, *aug.jitter)
         img = self._spatial(img, aug)
         return img * 2.0 - 1.0
 
     def load_layout(self, path: str, aug: AugmentParams) -> np.ndarray:
+        from . import native
+
         d = self.cfg.data
         lyt = np.asarray(PIL.Image.open(path), np.int64)
         if lyt.ndim == 3:
             lyt = lyt[..., 0]
+        size = (self.dim, int(self.dim * self.cfg.aspect_ratio))
+        if native.available():
+            return native.layout_onehot_resize(
+                lyt, d.num_lyt, d.remap_lyt, aug.top_crop, aug.left_crop,
+                aug.h_crop, aug.w_crop, size[0], size[1],
+                flip_x=aug.v_flip, flip_y=aug.h_flip,
+            )
         for i in range(len(d.remap_lyt) // 2):
             src, tgt = d.remap_lyt[2 * i], d.remap_lyt[2 * i + 1]
             lyt = np.where(lyt == src, tgt, lyt)
@@ -175,9 +193,25 @@ class BaseVideoDataset:
         return 5.0 * (onehot * 2.0 - 1.0)
 
     def load_flow(self, path: str, aug: AugmentParams) -> np.ndarray:
+        from . import native
+
         cfg = self.cfg
         flow = read_flo(path)  # (H, W, 2) raw px
         h, w = flow.shape[:2]
+        # flow files may live at their own resolution (flow_dim); crop in
+        # their own pixel space, scaled from true_dim coordinates
+        fh_scale = h / self.true_dim
+        top = int(aug.top_crop * fh_scale)
+        left = int(aug.left_crop * fh_scale)
+        chs = int((aug.top_crop + aug.h_crop) * fh_scale) - top
+        cws = int((aug.left_crop + aug.w_crop) * fh_scale) - left
+        fdim = cfg.flow_dim if cfg.flow_dim > 0 else cfg.dim
+        size = (fdim, int(fdim * cfg.aspect_ratio))
+        if native.available():
+            return native.flow_normalize_resize(
+                flow, aug.zoom, aug.v_flip, aug.h_flip, top, left, chs, cws,
+                size[0], size[1],
+            )
         flow = flow * aug.zoom
         if aug.v_flip:
             flow = flow.copy()
@@ -188,13 +222,8 @@ class BaseVideoDataset:
         flow = flow.copy()
         flow[..., 0] = 2.0 * flow[..., 0] / w
         flow[..., 1] = 2.0 * flow[..., 1] / h
-        # flow files may live at their own resolution (flow_dim); crop/resize
-        # in their own pixel space, scaled from true_dim coordinates
-        fh_scale = h / self.true_dim
-        a = flow[int(aug.top_crop * fh_scale): int((aug.top_crop + aug.h_crop) * fh_scale),
-                 int(aug.left_crop * fh_scale): int((aug.left_crop + aug.w_crop) * fh_scale)]
-        fdim = cfg.flow_dim if cfg.flow_dim > 0 else cfg.dim
-        a = _resize(a, (fdim, int(fdim * cfg.aspect_ratio)))
+        a = flow[top: top + chs, left: left + cws]
+        a = _resize(a, size)
         if aug.v_flip:
             a = a[:, ::-1]
         if aug.h_flip:
