@@ -20,6 +20,11 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compilation cache: the warp graphs are large and their
+    # XLA compiles dominate cold-start time
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/waldo_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from __graft_entry__ import _flagship_cfg, _batch_for
     from waldo_tpu.models import Synthesizer
 

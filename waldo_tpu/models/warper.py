@@ -274,8 +274,10 @@ class Warper:
         # ctx_ts indexes into the alpha window (full T, or leading Tc frames
         # when restrict_to_ctx), so one gather covers both.
         alpha_ctx = gather_time(alpha, ctx_ts)  # B Tc Tp No+1 Hd Wd 1
+        # alpha maps tolerate bf16 sampling error (~4e-3 on [0,1] masks);
+        # this is the largest sample batch of the pipeline
         alpha_ctx = grid_sample(
-            alpha_ctx.reshape(-1, hd, wd, 1), sample_grid
+            alpha_ctx.reshape(-1, hd, wd, 1), sample_grid, precision="fast"
         ).reshape(b, tc, tp, no + 1, hd, wd, 1)
         alpha_ctx = alpha_ctx * is_obj
         disocc = alpha_ctx.max(axis=3)  # B Tc Tp Hd Wd 1

@@ -31,8 +31,12 @@ def set_impl(name: str) -> None:
     _IMPL = name
 
 
-def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
-    """Sample img (B,H,W,C) at grid (B,Ho,Wo,2) -> (B,Ho,Wo,C)."""
+def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float32") -> jnp.ndarray:
+    """Sample img (B,H,W,C) at grid (B,Ho,Wo,2) -> (B,Ho,Wo,C).
+
+    precision: "float32" (exact, default) or "fast" (bf16 MXU passes,
+    ~2-3x faster, |err| ~4e-3 — fine for alpha/occupancy maps, never for
+    flow/coordinate fields)."""
     impl = _IMPL
     if impl == "auto":
         src = img.shape[-3] * img.shape[-2]
@@ -46,7 +50,7 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
 
         return grid_sample_pallas(img, grid)
     if impl == "mxu":
-        return grid_sample_mxu(img, grid)
+        return grid_sample_mxu(img, grid, precision=precision)
     return grid_sample_ref(img, grid)
 
 
@@ -60,7 +64,7 @@ def _hat(pos, n, dtype):
     return jax.nn.relu(1.0 - jnp.abs(pos[:, None] - idx[None, :]))
 
 
-def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float32") -> jnp.ndarray:
     """Bilinear sampling as two matmuls (TPU MXU path).
 
     out[p, c] = sum_y sum_x hat(iy_p, y) * hat(ix_p, x) * img[y, x, c]
@@ -85,11 +89,31 @@ def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
             ry, im.reshape(h, w * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision="float32",
+            precision="float32" if precision == "float32" else None,
         ).reshape(p, w, c)
         return (m * rx[:, :, None]).sum(axis=1)
 
-    out = jax.vmap(one)(img, ix, iy)
+    # Bound live memory: a plain vmap would materialize every image's
+    # (P,H)/(P,W) hat matrices at once (tens of GB at HD shapes). Scan over
+    # groups sized to ~1 GiB of transient hat/intermediate buffers.
+    bytes_per_img = p * (h + w + w * c + c) * 4
+    group = max(1, min(b, (1 << 30) // max(bytes_per_img, 1)))
+    if group >= b:
+        out = jax.vmap(one)(img, ix, iy)
+    else:
+        pad = (-b) % group
+        imgp = jnp.pad(img, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        ixp = jnp.pad(ix, ((0, pad), (0, 0)))
+        iyp = jnp.pad(iy, ((0, pad), (0, 0)))
+        ng = (b + pad) // group
+        out = jax.lax.map(
+            lambda t: jax.vmap(one)(*t),
+            (
+                imgp.reshape(ng, group, h, w, c),
+                ixp.reshape(ng, group, p),
+                iyp.reshape(ng, group, p),
+            ),
+        ).reshape(ng * group, p, c)[:b]
     return out.reshape(b, gh, gw, c).astype(dtype)
 
 

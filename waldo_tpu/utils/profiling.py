@@ -1,0 +1,61 @@
+"""Tracing / profiling subsystem.
+
+The reference has essentially none (dead CUDA events, synthesizer.py:36-37;
+unused profiled_function). Here profiling is first-class: jax.profiler trace
+capture (viewable in TensorBoard / Perfetto), named trace annotations around
+pipeline stages, and HBM usage reporting.
+
+Usage:
+    with trace("logs/profile"):          # capture a trace
+        step(...)
+    with annotate("decode_output"):      # name a region inside a trace
+        ...
+    print(memory_stats())                # per-device HBM usage
+"""
+from __future__ import annotations
+
+import contextlib
+from typing import Dict, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    return jax.profiler.TraceAnnotation(name)
+
+
+def memory_stats() -> Dict[str, Dict[str, float]]:
+    out = {}
+    for d in jax.local_devices():
+        try:
+            s = d.memory_stats()
+        except Exception:
+            continue
+        if not s:
+            continue
+        out[str(d)] = {
+            "bytes_in_use_gb": s.get("bytes_in_use", 0) / 2 ** 30,
+            "peak_bytes_gb": s.get("peak_bytes_in_use", 0) / 2 ** 30,
+            "bytes_limit_gb": s.get("bytes_limit", 0) / 2 ** 30,
+        }
+    return out
+
+
+def log_memory(logger=None, step: Optional[int] = None, prefix: str = "mem"):
+    stats = memory_stats()
+    for dev, s in stats.items():
+        if logger is not None and step is not None:
+            logger.log_scalar(f"{prefix}/{dev}/in_use_gb", s["bytes_in_use_gb"], step)
+        else:
+            print(f"[{prefix}] {dev}: {s['bytes_in_use_gb']:.2f} GiB in use "
+                  f"(peak {s['peak_bytes_gb']:.2f} / limit {s['bytes_limit_gb']:.2f})")
+    return stats
