@@ -38,17 +38,21 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float32")
     ~2-3x faster, |err| ~4e-3 — fine for alpha/occupancy maps, never for
     flow/coordinate fields)."""
     impl = _IMPL
+    src = img.shape[-3] * img.shape[-2]
+    if impl == "pallas":
+        # inference-only fused kernel (no custom VJP yet); falls back to the
+        # differentiable paths outside its specialization envelope
+        if img.shape[-1] == 1 and src <= (1 << 18):
+            from .pallas.grid_sample import grid_sample_pallas
+
+            return grid_sample_pallas(img, grid, precision=precision)
+        impl = "auto"
     if impl == "auto":
-        src = img.shape[-3] * img.shape[-2]
         impl = (
             "mxu"
             if (src <= _MXU_MAX_SRC and img.shape[-1] <= _MXU_MAX_CHAN)
             else "gather"
         )
-    if impl == "pallas":
-        from .pallas.grid_sample import grid_sample_pallas
-
-        return grid_sample_pallas(img, grid)
     if impl == "mxu":
         return grid_sample_mxu(img, grid, precision=precision)
     return grid_sample_ref(img, grid)
