@@ -160,12 +160,87 @@ class ClsAttention(nn.Module):
         return nn.Dense(self.dim, **dense_kwargs())(out)
 
 
+class CtxAttention(nn.Module):
+    """Context tokens attend to [cls; ctx] (reference transform.py:214-235)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, x_ctx, deterministic=True, **_):
+        # naming mirrors the reference: `x` is z_cls, `x_ctx` the tokens;
+        # queries come from the tokens
+        z = jnp.concatenate([x, x_ctx], axis=1)
+        q = nn.Dense(self.dim, use_bias=False, **dense_kwargs())(x_ctx)
+        kv = nn.Dense(self.dim * 2, use_bias=False, **dense_kwargs())(z)
+        k, v = jnp.split(kv, 2, axis=-1)
+        out = _mha(q, k, v, self.num_heads)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
+class SeedAttention(nn.Module):
+    """Self-attention with an extra cls-derived key/value pair
+    (reference transform.py:238-261)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, z_cls, deterministic=True, **_):
+        qkv = nn.Dense(self.dim * 3, use_bias=False, **dense_kwargs())(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        kv_cls = nn.Dense(self.dim * 2, use_bias=False, **dense_kwargs())(z_cls)
+        k_cls, v_cls = jnp.split(kv_cls, 2, axis=-1)
+        k = jnp.concatenate([k_cls, k], axis=1)
+        v = jnp.concatenate([v_cls, v], axis=1)
+        out = _mha(q, k, v, self.num_heads)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
+def get_causal_mask(causal_mask_sizes, mask_diag=False):
+    """Block-causal mask (reference transform.py:440-447); True = masked."""
+    import numpy as np
+
+    cum = np.concatenate(
+        [np.full(s, i) for i, s in enumerate(causal_mask_sizes)]
+    )
+    row, col = np.meshgrid(cum, cum, indexing="ij")
+    return jnp.asarray((row <= col) if mask_diag else (row < col))
+
+
+class BlockCausalAttention(nn.Module):
+    """Self-attention under a block-causal mask (reference transform.py:264-289)."""
+
+    dim: int
+    num_heads: int
+    causal_mask_sizes: tuple = ()
+    noise: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic=True, **_):
+        n = x.shape[1]
+        qkv = nn.Dense(self.dim * 3, use_bias=False, **dense_kwargs())(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b = x.shape[0]
+        d = self.dim // self.num_heads
+        qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * (d ** -0.5)
+        mask = get_causal_mask(self.causal_mask_sizes)[:n, :n]
+        attn = jnp.where(mask[None, None], _NEG, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
 _ATTN = {
     "full": FullAttention,
     "full_with_cond_norm": FullAttention,
     "cross": CrossAttention,
     "obj": ObjAttention,
     "cls": ClsAttention,
+    "ctx": CtxAttention,
+    "seed": SeedAttention,
+    "block_causal": BlockCausalAttention,
 }
 
 
@@ -178,6 +253,7 @@ class Block(nn.Module):
     norm_layer: str = "ln"
     noise: bool = False
     dropout: float = 0.0
+    causal_mask_sizes: tuple = ()
 
     @nn.compact
     def __call__(self, x, x_ctx=None, key_mask=None, z_cond=None, deterministic=True):
@@ -193,6 +269,8 @@ class Block(nn.Module):
         attn_kwargs = dict(dim=self.dim, num_heads=self.num_heads)
         if self.block_type in ("full", "full_with_cond_norm", "cross"):
             attn_kwargs["noise"] = self.noise
+        if self.block_type == "block_causal":
+            attn_kwargs["causal_mask_sizes"] = self.causal_mask_sizes
         attn = attn_cls(**attn_kwargs)
 
         h = a1 * CustomNorm(self.norm_layer)(x) + b1

@@ -114,3 +114,119 @@ class Logger:
 
     def close(self):
         self.writer.close()
+
+
+def _render_figure(draw_fn, height, width, dpi=64):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(width / dpi, height / dpi), dpi=dpi)
+    fig.patch.set_facecolor("#FFFFFF")
+    draw_fn(plt)
+    plt.xlim([-1, 1])
+    plt.ylim([-1, 1])
+    plt.axis("off")
+    plt.tight_layout()
+    fig.canvas.draw()
+    data = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+    plt.close(fig)
+    return data.astype(np.float32) / 255 * 2 - 1
+
+
+def _colormap(num):
+    from matplotlib import cm
+
+    colors = cm.get_cmap("jet")(np.linspace(0, 1, num + 2)[: num + 1])
+    colors[0, :3] = 0.5
+    return colors
+
+
+def get_pts(obj_pts, bg_pts, height, width, mul=4, dpi=64):
+    """Scatter rendering of control points (reference logger.py:56-86).
+
+    obj_pts (B[,T],No,Lo,2), bg_pts (B[,T],1,L,2) -> (B[,T],H,W,3) in [-1,1]."""
+    obj_pts = np.asarray(obj_pts)
+    bg_pts = np.asarray(bg_pts)
+    vid = obj_pts.ndim == 5
+    if vid:
+        bt = obj_pts.shape[:2]
+        obj_pts = obj_pts.reshape((-1,) + obj_pts.shape[2:])
+        bg_pts = bg_pts.reshape((-1,) + bg_pts.shape[2:])
+    b, no = obj_pts.shape[:2]
+    colors = _colormap(no)
+    h, w = height * mul, width * mul
+    frames = []
+    for i in range(b):
+        def draw(plt, i=i):
+            plt.scatter(bg_pts[i, 0, :, 0], -bg_pts[i, 0, :, 1], marker="x",
+                        color=colors[0], linewidths=mul, s=10 * mul)
+            for j in range(no):
+                plt.scatter(obj_pts[i, j, :, 0], -obj_pts[i, j, :, 1], marker="x",
+                            color=colors[1 + j], linewidths=mul, s=10 * mul)
+        frames.append(_render_figure(draw, h, w, dpi))
+    out = np.stack(frames)
+    return out.reshape(bt + out.shape[1:]) if vid else out
+
+
+def get_mot(obj_pts, bg_pts, height, width, mul=4, dpi=64, forward=True):
+    """Quiver rendering of control-point motion (reference logger.py:128-167).
+
+    obj_pts (B,T,No,Lo,2), bg_pts (B,T,1,L,2) -> (B,T-1,H,W,3)."""
+    obj_pts = np.asarray(obj_pts)
+    bg_pts = np.asarray(bg_pts)
+    b, t, no = obj_pts.shape[:3]
+    colors = _colormap(no)
+    h, w = height * mul, width * mul
+    vid = np.zeros((b, t - 1, h, w, 3), np.float32)
+    qkw = dict(angles="xy", scale_units="xy", scale=1, width=0.005,
+               headwidth=2, headlength=2, headaxislength=2)
+    for i in range(b):
+        for k in range(t - 1):
+            s, e = (k, k + 1) if forward else (k + 1, k)
+
+            def draw(plt, i=i, s=s, e=e):
+                x, y = bg_pts[i, s, 0, :, 0], -bg_pts[i, s, 0, :, 1]
+                u = bg_pts[i, e, 0, :, 0] - bg_pts[i, s, 0, :, 0]
+                v = -bg_pts[i, e, 0, :, 1] + bg_pts[i, s, 0, :, 1]
+                plt.quiver(x, y, u, v, color=colors[0], **qkw)
+                for j in range(no):
+                    x, y = obj_pts[i, s, j, :, 0], -obj_pts[i, s, j, :, 1]
+                    u = obj_pts[i, e, j, :, 0] - obj_pts[i, s, j, :, 0]
+                    v = -obj_pts[i, e, j, :, 1] + obj_pts[i, s, j, :, 1]
+                    plt.quiver(x, y, u, v, color=colors[1 + j], **qkw)
+
+            vid[i, k] = _render_figure(draw, h, w, dpi)
+    return vid
+
+
+def get_delta_mot(obj_pts, bg_pts, ref_obj_pts, ref_bg_pts, height, width, mul=4, dpi=64):
+    """Quiver of displacement from a reference pose (reference logger.py:88-126)."""
+    obj_pts, bg_pts = np.asarray(obj_pts), np.asarray(bg_pts)
+    ref_obj_pts, ref_bg_pts = np.asarray(ref_obj_pts), np.asarray(ref_bg_pts)
+    b, t, no = obj_pts.shape[:3]
+    colors = _colormap(no)
+    h, w = height * mul, width * mul
+    vid = np.zeros((b, t, h, w, 3), np.float32)
+    qkw = dict(angles="xy", scale_units="xy", scale=1, width=0.005,
+               headwidth=2, headlength=2, headaxislength=2)
+    for i in range(b):
+        for k in range(t):
+            def draw(plt, i=i, k=k):
+                plt.scatter(ref_bg_pts[i, 0, :, 0], -ref_bg_pts[i, 0, :, 1],
+                            marker="x", color=colors[0], linewidths=mul, s=10 * mul)
+                u = bg_pts[i, k, 0, :, 0] - ref_bg_pts[i, 0, :, 0]
+                v = -bg_pts[i, k, 0, :, 1] + ref_bg_pts[i, 0, :, 1]
+                plt.quiver(ref_bg_pts[i, 0, :, 0], -ref_bg_pts[i, 0, :, 1], u, v,
+                           color=colors[0], **qkw)
+                for j in range(no):
+                    plt.scatter(ref_obj_pts[i, j, :, 0], -ref_obj_pts[i, j, :, 1],
+                                marker="x", color=colors[1 + j], linewidths=mul, s=10 * mul)
+                    u = obj_pts[i, k, j, :, 0] - ref_obj_pts[i, j, :, 0]
+                    v = -obj_pts[i, k, j, :, 1] + ref_obj_pts[i, j, :, 1]
+                    plt.quiver(ref_obj_pts[i, j, :, 0], -ref_obj_pts[i, j, :, 1],
+                               u, v, color=colors[1 + j], **qkw)
+
+            vid[i, k] = _render_figure(draw, h, w, dpi)
+    return vid

@@ -160,7 +160,7 @@ class Trainer:
             log = (cfg.log_freq and it % cfg.log_freq == 0) or it < 10 or (
                 it < 1000 and it % 100 == 0
             )
-            for mode in cfg.vid_modes:
+            for mode in cfg.img_modes + cfg.vid_modes:
                 if mode not in self._steps:
                     continue
                 net, step = self._steps[mode]
