@@ -1,0 +1,84 @@
+"""Warper invariant tests: round trips, occlusion bounds, fusion identities."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from waldo_tpu.config import Config, DataConfig, ModelConfig
+from waldo_tpu.models.warper import Warper, WarpGrids
+from waldo_tpu.models.lvd import compute_occ
+from waldo_tpu.ops import get_grid
+
+
+def make_warper(num_obj=2):
+    cfg = Config(
+        dim=32,
+        aspect_ratio=2.0,
+        data=DataConfig(num_lyt=4, fg_idx=[1], bg_idx=[0], other_idx=[2], vid_len=3),
+        model=ModelConfig(patch_size=8, latent_shape=(4, 8), obj_shape=(2, 2),
+                          num_obj=num_obj, min_cls=0.1),
+    )
+    return Warper(cfg), cfg
+
+
+def identity_poses(b, t, warper):
+    lo = warper.latent_obj_size
+    l = warper.latent_size
+    obj_rest = get_grid(2, 2).reshape(1, 1, 1, lo, 2)
+    obj_pose = np.broadcast_to(obj_rest, (b, t, warper.num_obj, lo, 2)).copy()
+    # shrink objects so their textures land inside the frame
+    obj_pose = obj_pose * 0.25
+    bg_pose = np.broadcast_to(get_grid(4, 8).reshape(1, 1, l, 2), (b, t, l, 2)).copy()
+    return jnp.asarray(obj_pose), jnp.asarray(bg_pose)
+
+
+def test_identity_bg_roundtrip():
+    """Identity bg pose: gather then scatter reproduces the input frame."""
+    w, cfg = make_warper()
+    b, t = 1, 2
+    obj_pose, bg_pose = identity_poses(b, t, w)
+    grids = w(obj_pose, bg_pose)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(b, t, 32, 64, 3).astype(np.float32))
+    bg = w.bg_from_input(x, grids)           # frame -> bg texture
+    back = w.bg_to_output(bg, grids, delta=0.0)[:, :, 0]  # texture -> frame
+    # identity TPS: interior must match almost exactly (borders lose the
+    # inverse-warp erosion margin)
+    a = np.asarray(back)[:, :, 8:-8, 8:-8]
+    bref = np.asarray(x)[:, :, 8:-8, 8:-8]
+    assert np.abs(a - bref).max() < 1e-2, np.abs(a - bref).max()
+
+
+def test_occlusion_product_bounds_and_bg_rule():
+    """occ[i,0]=1 (bg occluded by all), occ[0,j]=0 (bg occludes none)."""
+    occ_score = jnp.asarray(np.random.RandomState(0).randn(2, 3, 4).astype(np.float32))
+    occ = np.asarray(compute_occ(occ_score))
+    assert occ.shape == (2, 3, 5, 5)
+    assert np.allclose(occ[:, :, 0, :], 0)      # bg row
+    assert np.allclose(occ[:, :, 1:, 0], 1)     # bg column
+    assert (occ >= 0).all() and (occ <= 1 + 1e-6).all()
+
+    w, _ = make_warper(num_obj=4)
+    alpha = jnp.asarray(np.random.RandomState(1).rand(2, 3, 5, 8, 16, 1).astype(np.float32))
+    prod = np.asarray(w.occlusion_product(alpha, jnp.asarray(occ)))
+    assert (prod >= 0).all() and (prod <= 1 + 1e-6).all()
+    # fully transparent layers never occlude
+    prod0 = np.asarray(w.occlusion_product(jnp.zeros_like(alpha), jnp.asarray(occ)))
+    assert np.allclose(prod0, 1.0)
+
+
+def test_input_to_output_single_ctx_identity_flow():
+    """Zero flow + full alpha: fused output equals the context frame."""
+    w, cfg = make_warper()
+    b, tc, tp = 1, 2, 3
+    h, wd = 32, 64
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(b, 4, h, wd, 5).astype(np.float32))
+    flow = jnp.zeros((b, tc, tp, h, wd, 2))
+    alpha = jnp.ones((b, tc, tp, h, wd, 3))  # all layers opaque (in [-1,1]: 1)
+    ctx_ts = jnp.broadcast_to(jnp.arange(tc)[None, :, None], (b, tc, tp))
+    out, raw = w.input_to_output(x, alpha, flow, ctx_ts)
+    # fused output = average of ctx frames 0 and 1 (equal scores)
+    expected = (np.asarray(x)[:, 0] + np.asarray(x)[:, 1]) / 2
+    assert np.allclose(np.asarray(out)[..., :5][:, 0], expected, atol=1e-5)
+    assert raw.shape == (b, tc, tp, h, wd, 5 + 3)

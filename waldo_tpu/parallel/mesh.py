@@ -80,3 +80,31 @@ def shard_batch(batch, mesh: Mesh, axis: str = None):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+# ---------------------------------------------------------------------------
+# collective helpers (API parity with reference tools/engine.py:80-95; under
+# pjit these are usually implicit — XLA inserts them from shardings)
+# ---------------------------------------------------------------------------
+
+def all_reduce_mean(x, axis_name: str = "data"):
+    """Mean over the mesh axis (reference Engine.all_reduce_tensor)."""
+    import jax
+
+    return jax.lax.pmean(x, axis_name)
+
+
+def all_gather(x, axis_name: str = "data"):
+    """Gather over the mesh axis (reference Engine.all_gather_tensor)."""
+    import jax
+
+    return jax.lax.all_gather(x, axis_name)
+
+
+def barrier():
+    """Cross-host barrier (reference Engine.barrier)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() > 1:
+        multihost_utils.sync_global_devices("waldo_barrier")
