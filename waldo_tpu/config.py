@@ -53,6 +53,11 @@ class DataConfig:
     shuffle_valid: bool = False
     num_workers: int = 8
     eval_phase: str = "valid"  # train | valid | test
+    # fold mechanism for huge datasets (reference helpers/__init__.py:5-27):
+    # the clip index is split into num_folds interleaved shards and training
+    # cycles to the next fold at each epoch boundary
+    num_folds_train: Optional[int] = None
+    init_fold_train: int = 0
 
 
 @dataclass

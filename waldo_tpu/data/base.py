@@ -90,7 +90,8 @@ class AugmentParams:
 class BaseVideoDataset:
     """Frame-folder video dataset with modality siblings."""
 
-    def __init__(self, cfg, phase="train", rng: Optional[random.Random] = None):
+    def __init__(self, cfg, phase="train", rng: Optional[random.Random] = None,
+                 fold: Optional[int] = None, num_folds: Optional[int] = None):
         self.cfg = cfg
         self.phase = phase
         self.rng = rng or random.Random(cfg.seed)
@@ -101,6 +102,18 @@ class BaseVideoDataset:
         self.layout_folder = None
         self.flow_folder = None
         self.data = self.get_data(cfg, phase)
+        self._full_clips = self.data["vid_frame_paths"]
+        self.num_folds = num_folds
+        if num_folds:
+            self.set_fold(fold or 0)
+
+    def set_fold(self, fold: int):
+        """Select an interleaved shard of the clip index
+        (reference fold cycling, helpers/__init__.py:12-21)."""
+        assert self.num_folds
+        self.fold = fold % self.num_folds
+        self.data = dict(self.data)
+        self.data["vid_frame_paths"] = self._full_clips[self.fold:: self.num_folds]
 
     def get_data(self, cfg, phase) -> Dict:
         raise NotImplementedError

@@ -111,7 +111,8 @@ class DataLoader:
 
 
 class InfiniteLoader:
-    """Epoch-cycling iterator (reference helpers/__init__.py:5-27 semantics)."""
+    """Epoch-cycling iterator with fold advancement
+    (reference helpers/__init__.py:5-27 semantics)."""
 
     def __init__(self, loader: DataLoader):
         self.loader = loader
@@ -124,5 +125,8 @@ class InfiniteLoader:
         except StopIteration:
             self.epoch += 1
             self.loader.set_epoch(self.epoch)
+            ds = self.loader.dataset
+            if getattr(ds, "num_folds", None):
+                ds.set_fold(ds.fold + 1)
             self._it = iter(self.loader)
             return next(self._it)

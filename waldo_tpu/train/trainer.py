@@ -142,7 +142,11 @@ class Trainer:
     def run(self, num_iter: Optional[int] = None):
         cfg = self.cfg
         num_iter = num_iter if num_iter is not None else cfg.num_iter
-        train_ds = create_dataset(cfg, phase="train")
+        fold_kw = {}
+        if cfg.data.num_folds_train:
+            fold_kw = dict(num_folds=cfg.data.num_folds_train,
+                           fold=cfg.data.init_fold_train)
+        train_ds = create_dataset(cfg, phase="train", **fold_kw)
         self.train_loader = InfiniteLoader(
             DataLoader(train_ds, cfg.batch_size_vid, shuffle=True, seed=cfg.seed,
                        num_workers=cfg.data.num_workers)
