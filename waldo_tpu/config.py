@@ -128,6 +128,9 @@ class ModelConfig:
     restrict_to_ctx: bool = False
     no_filter: bool = False
     allow_ghost: bool = False
+    # opt-in iterative (gather-based) warp-grid inversion: faster on TPU,
+    # documented deviation from the reference's scatter+dilate inversion
+    fast_inverse_warp: bool = False
     use_lyt_filtering: bool = True
     use_lyt_opacity: bool = True
     swap_flt: bool = True

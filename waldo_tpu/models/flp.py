@@ -20,6 +20,7 @@ import flax.linen as nn
 from ..nn import CustomNorm, MultiBlocks, Block
 from ..nn.init import dense_kwargs, trunc_normal_init
 from ..ops import get_grid
+from ..parallel.sharding import shard_tokens
 
 
 class LatentCompressor(nn.Module):
@@ -79,7 +80,7 @@ class PoseEncoder(nn.Module):
         x = MultiBlocks(depth=m.pg_enc_depth, dim=m.embed_dim, num_heads=m.num_heads,
                         block_type="full", norm_layer=m.norm_layer,
                         dropout=m.dropout)(
-            x.reshape(b, tt * (no + 1), c), key_mask=key_mask,
+            shard_tokens(x.reshape(b, tt * (no + 1), c)), key_mask=key_mask,
             deterministic=deterministic,
         )
         x = CustomNorm(m.norm_layer)(x).reshape(b, tt, no + 1, c)

@@ -25,6 +25,7 @@ import flax.linen as nn
 from ..nn import ConvPatchProj, CustomNorm, MultiBlocks
 from ..nn.init import dense_kwargs, trunc_normal_init
 from ..ops import get_grid, get_circle, resize
+from ..parallel.sharding import shard_tokens
 
 
 def get_num_channels(dtype: str, num_lyt: int) -> int:
@@ -161,7 +162,7 @@ class PoseEstimator(nn.Module):
         else:
             x = jnp.concatenate([xo, x], axis=2)
 
-        x = x.reshape(b * t, -1, c)
+        x = shard_tokens(x.reshape(b * t, -1, c))
         x = MultiBlocks(depth=m.pe_depth, dim=m.embed_dim, num_heads=m.num_heads,
                         block_type="full", norm_layer=m.norm_layer,
                         dropout=m.dropout)(x, deterministic=deterministic)
@@ -312,7 +313,7 @@ class LayerEstimator(nn.Module):
             x_bg = jnp.broadcast_to(pos_embed, (b, 1, l, c)).reshape(b, l, c)
             x_obj = jnp.concatenate([x_bg, x_obj], axis=1)
 
-        x = CustomNorm(m.norm_layer)(x.reshape(b, t * l, c))
+        x = shard_tokens(CustomNorm(m.norm_layer)(x.reshape(b, t * l, c)))
         x_obj = MultiBlocks(depth=m.oe_depth, dim=m.embed_dim, num_heads=m.num_heads,
                             block_type="obj", norm_layer=m.norm_layer,
                             dropout=m.dropout)(x_obj, x_ctx=x, deterministic=deterministic)

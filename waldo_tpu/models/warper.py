@@ -74,19 +74,28 @@ class Warper:
         self.include_self = m.include_self
         self.no_filter = m.no_filter
         self.allow_ghost = m.allow_ghost
+        self.fast_inverse_warp = m.fast_inverse_warp
 
     # ---- grid construction (reference lvd.py:855-870) ----
 
     def __call__(self, obj_pose, bg_pose, invert=True) -> WarpGrids:
         b, t, no, lo, _ = obj_pose.shape
+        inv_o = (
+            self.invert_obj.iterative if self.fast_inverse_warp else self.invert_obj
+        )
+        inv_b = (
+            self.invert_bg.iterative
+            if self.fast_inverse_warp
+            else (lambda g: self.invert_bg(g, erode=False))
+        )
         tgt_obj = self.tps_obj(obj_pose.reshape(b * t * no, lo, 2))
-        src_obj = self.invert_obj(tgt_obj) if invert else None
+        src_obj = inv_o(tgt_obj) if invert else None
         tgt_obj = tgt_obj.reshape(b, t, no, *tgt_obj.shape[1:])
         src_obj = src_obj.reshape(b, t, no, *src_obj.shape[1:]) if invert else None
 
         l = self.latent_size
         tgt_bg = self.tps_bg(bg_pose.reshape(b * t, l, 2))
-        src_bg = self.invert_bg(tgt_bg, erode=False) if invert else None
+        src_bg = inv_b(tgt_bg) if invert else None
         tgt_bg = tgt_bg.reshape(b, t, *tgt_bg.shape[1:])
         src_bg = src_bg.reshape(b, t, *src_bg.shape[1:]) if invert else None
         return WarpGrids(tgt_obj, src_obj, tgt_bg, src_bg)

@@ -141,3 +141,34 @@ class InverseWarp:
 
         dtgt = jnp.stack([inv_dx * (2.0 / w), inv_dy * (2.0 / h)], axis=-1)
         return self.tgt_grid[None] + dtgt
+
+    def iterative(self, src_grid, niter=3, tol=0.05):
+        """Gather-based fixed-point inversion (opt-in fast path).
+
+        Solves G(q) = q - u(G(q)) where u is the forward displacement field,
+        by iterating v <- -u(q + v); all evaluations are grid_samples, so the
+        whole inversion runs on the MXU sampler instead of scatters. Pixels
+        whose residual |F(G(q)) - q| stays above `tol` (fold-overs /
+        disocclusions) are pushed far out of bounds like the reference's
+        unfilled pixels. Deviation from the scatter path: no 5-step
+        dilate-average hole filling — near-hole pixels extrapolate through
+        the smooth fixed point instead.
+        """
+        from .grid_sample import grid_sample
+
+        b, hs, ws, _ = src_grid.shape
+        h, w = self.tgt_shape
+        u = src_grid - self.src_grid[None]  # displacement on the source lattice
+        q = jnp.broadcast_to(self.tgt_grid[None], (b, h, w, 2))
+        v = jnp.zeros_like(q)
+        for _ in range(niter):
+            v = -grid_sample(u, q + v)
+        # residual check: F(q+v) should equal q
+        f_at = grid_sample(u, q + v) + (q + v)
+        bad = (jnp.abs(f_at - q).max(axis=-1, keepdims=True) > tol) | (
+            jnp.abs(q + v).max(axis=-1, keepdims=True) > 1.0
+        )
+        far = jnp.stack(
+            [jnp.full((b, h, w), 4.0), jnp.full((b, h, w), 4.0)], axis=-1
+        )
+        return jnp.where(bad, far, q + v)

@@ -20,7 +20,7 @@ import numpy as np
 from ..config import Config, save_config
 from ..data import create_dataset, DataLoader, InfiniteLoader
 from ..models import Synthesizer
-from ..parallel import make_mesh, shard_batch, replicate, init_distributed
+from ..parallel import make_mesh, shard_batch, replicate, init_distributed, set_active_mesh
 from .train_state import NetState, make_optimizer, train_step_fn
 from .checkpoint import CheckpointManager
 from .logger import Logger
@@ -39,6 +39,7 @@ class Trainer:
         self.cfg = cfg
         self.is_main = jax.process_index() == 0
         self.mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axes))
+        set_active_mesh(self.mesh)
         self.syn = Synthesizer(cfg)
         self.ckpt = CheckpointManager(cfg.checkpoint_path)
         self.logger = Logger(cfg.log_path) if self.is_main else None
