@@ -400,6 +400,20 @@ def load_config(path: str) -> Config:
         return from_dict(json.load(f))
 
 
+def _auto(raw: str):
+    """Best-effort scalar coercion for untyped (None / empty-list) defaults."""
+    for typ in (int, float):
+        try:
+            return typ(raw)
+        except ValueError:
+            pass
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    if raw.lower() in ("none", "null"):
+        return None
+    return raw
+
+
 def _coerce(current, raw: str):
     if isinstance(current, bool):
         return raw.lower() in ("1", "true", "yes")
@@ -409,10 +423,14 @@ def _coerce(current, raw: str):
         return float(raw)
     if isinstance(current, (list, tuple)):
         parts = raw.split(",") if "," in raw else raw.split()
-        elem = current[0] if len(current) else raw
-        typ = type(elem) if len(current) else str
-        out = [typ(p) for p in parts]
+        if len(current):
+            typ = type(current[0])
+            out = [typ(p) for p in parts]
+        else:
+            out = [_auto(p) for p in parts]
         return tuple(out) if isinstance(current, tuple) else out
+    if current is None:
+        return _auto(raw)
     return raw
 
 
