@@ -64,6 +64,9 @@ class Synthesizer:
     def __init__(self, cfg):
         self.cfg = cfg
         m = cfg.model
+        from ..nn.init import set_compute_dtype
+
+        set_compute_dtype(getattr(cfg, "compute_dtype", "float32"))
         self.lvd = LVDNet(cfg) if m.use_pe else None
         self.flp = FLPNet(cfg) if m.use_pg else None
         self.wif = WIFNet(cfg) if m.use_ii else None

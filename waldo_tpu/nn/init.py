@@ -7,7 +7,24 @@
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import flax.linen as nn
+
+# Global computation dtype for network matmuls/convs (params stay float32).
+# Set from Config.compute_dtype by Synthesizer; the geometry/warp path is
+# unaffected (it pins its own precision).
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.dtype(dtype) if not isinstance(dtype, str) else {
+        "float32": jnp.float32, "bfloat16": jnp.bfloat16
+    }[dtype]
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
 
 
 def trunc_normal_init(std: float = 0.02):
@@ -15,8 +32,10 @@ def trunc_normal_init(std: float = 0.02):
 
 
 def dense_kwargs():
-    return dict(kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros)
+    return dict(kernel_init=trunc_normal_init(), bias_init=nn.initializers.zeros,
+                dtype=compute_dtype())
 
 
 def conv_kwargs():
-    return dict(kernel_init=nn.initializers.xavier_uniform(), bias_init=nn.initializers.zeros)
+    return dict(kernel_init=nn.initializers.xavier_uniform(),
+                bias_init=nn.initializers.zeros, dtype=compute_dtype())

@@ -36,10 +36,10 @@ def _mha(q, k, v, num_heads, key_mask=None):
     qh = _split_heads(q, num_heads)
     kh = _split_heads(k, num_heads)
     vh = _split_heads(v, num_heads)
-    attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * (d ** -0.5)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32) * (d ** -0.5)
     if key_mask is not None:
         attn = jnp.where(key_mask[:, None, None, :], attn, _NEG)
-    attn = jax.nn.softmax(attn, axis=-1)
+    attn = jax.nn.softmax(attn, axis=-1).astype(qh.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
     return out.reshape(b, nq, c)
 
