@@ -203,6 +203,7 @@ class ModelConfig:
     lambda_rec_occ_score: float = 0.01
     lambda_adv: float = 1.0
     lambda_dis: float = 1.0
+    use_adaptive_lambda: bool = False
     cell_dis_eps: float = 0.0
     reg_bg_mul: float = 0.25
     img_mul_act_reg: float = 1.0

@@ -573,7 +573,35 @@ class Synthesizer:
         if "adv" in losses and id_params is not None:
             d_fake = self.disc.apply(jax.lax.stop_gradient(id_params), inp[:, 0])
             metrics["adv"] = self.gan_g_loss(d_fake)
-            nll += metrics["adv"] * m.lambda_adv
+            lam = m.lambda_adv
+            if m.use_adaptive_lambda:
+                # ||grad_last nll|| / ||grad_last adv|| on the WIF output conv
+                # (reference get_adaptive_lambda, synthesizer.py:1106-1111)
+                def last_layer_norm(loss_fn):
+                    g = jax.grad(loss_fn)(ii_params)
+                    leaves = [
+                        v for path, v in
+                        jax.tree_util.tree_flatten_with_path(g)[0]
+                        if "from_emb" in str(path) or "Conv" in str(path)
+                    ]
+                    last = leaves[-1]
+                    return jnp.sqrt((last ** 2).sum() + 1e-12)
+
+                def nll_of(p):
+                    out_p = self.wif.apply(p, raw_output)
+                    return jnp.abs(out_p - tgt).mean() * m.lambda_sharp_vid
+
+                def adv_of(p):
+                    out_p = self.wif.apply(p, raw_output)
+                    d = self.disc.apply(jax.lax.stop_gradient(id_params), out_p[:, 0])
+                    return self.gan_g_loss(d)
+
+                lam = jax.lax.stop_gradient(
+                    jnp.clip(last_layer_norm(nll_of) / (last_layer_norm(adv_of) + 1e-4),
+                             0.0, 1e4)
+                )
+                metrics["adaptive_lambda"] = lam
+            nll += metrics["adv"] * lam
         metrics["loss"] = nll
         return nll, metrics
 

@@ -232,6 +232,67 @@ class BlockCausalAttention(nn.Module):
         return nn.Dense(self.dim, **dense_kwargs())(out)
 
 
+class SkipAttention(nn.Module):
+    """Per-frame queries attending to delta-keyed context frames + themselves
+    (reference transform.py:292-340; not exercised by released configs).
+
+    x (B, T0*L, C) queries; x_ctx/dx_ctx (B, T, L, C) value/key streams.
+    Attention spans (T+1) blocks of L: T context blocks keyed by dx_ctx plus
+    a per-frame self block."""
+
+    dim: int
+    num_heads: int
+    latent_size: int
+    num_seeds: int = 0
+    temporal_dropout: float = 0.0
+    non_trivial: bool = False
+
+    @nn.compact
+    def __call__(self, x, x_ctx, dx_ctx, mode="inference", ctx_mask=None,
+                 deterministic=True, **_):
+        l = self.latent_size
+        b, t, _, c = x_ctx.shape
+        t0 = x.shape[1] // l
+        hn = self.num_heads
+        d = c // hn
+        qkv = nn.Dense(self.dim * 3, use_bias=False, **dense_kwargs())(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        k_ctx = nn.Dense(self.dim, use_bias=False, **dense_kwargs())(dx_ctx)
+        v_ctx = nn.Dense(self.dim, use_bias=False, **dense_kwargs())(x_ctx)
+        qh = q.reshape(b, t0 * l, hn, d).transpose(0, 2, 1, 3)
+        kc = k_ctx.reshape(b, t * l, hn, d).transpose(0, 2, 1, 3)
+        vc = v_ctx.reshape(b, t * l, hn, d).transpose(0, 2, 1, 3)
+        attn = (qh @ kc.transpose(0, 1, 3, 2)) * (d ** -0.5)
+        attn = attn.reshape(b, hn, t0 * l, t, l)
+        if ctx_mask is not None:
+            attn = jnp.where(ctx_mask[:, None, None, :, None], attn, _NEG)
+        if mode == "training" and self.non_trivial:
+            idx = jnp.arange(t)
+            m = (idx[:, None] + self.num_seeds) == idx[None, :]
+            attn = jnp.where(m[:t0][None, None, :, None, :, None]
+                             .reshape(1, 1, t0, 1, t, 1)
+                             .repeat(l, 3).reshape(1, 1, t0 * l, t, 1), _NEG, attn)
+        if mode == "training" and self.temporal_dropout > 0 and not deterministic:
+            drop = jax.random.uniform(self.make_rng("noise"),
+                                      attn.shape[:-1] + (1,)) < self.temporal_dropout
+            attn = jnp.where(drop, _NEG, attn)
+        kh = k.reshape(b, t0, l, hn, d).transpose(0, 3, 1, 2, 4)
+        vh = v.reshape(b, t0, l, hn, d).transpose(0, 3, 1, 2, 4)
+        qh2 = qh.reshape(b, hn, t0, l, d)
+        self_attn = (qh2 @ kh.transpose(0, 1, 2, 4, 3)) * (d ** -0.5)
+        self_attn = self_attn.reshape(b, hn, t0 * l, 1, l)
+        full = jnp.concatenate([attn, self_attn], axis=3).reshape(
+            b, hn, t0 * l, (t + 1) * l
+        )
+        full = jax.nn.softmax(full, axis=-1)
+        out = full[..., : t * l] @ vc
+        self_part = (
+            full[..., t * l:].reshape(b, hn, t0, l, l) @ vh
+        ).reshape(b, hn, t0 * l, d)
+        out = (out + self_part).transpose(0, 2, 1, 3).reshape(b, t0 * l, c)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
 _ATTN = {
     "full": FullAttention,
     "full_with_cond_norm": FullAttention,
@@ -241,6 +302,7 @@ _ATTN = {
     "ctx": CtxAttention,
     "seed": SeedAttention,
     "block_causal": BlockCausalAttention,
+    "skip": SkipAttention,
 }
 
 
