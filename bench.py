@@ -35,7 +35,7 @@ def main():
     iters = int(os.environ.get("WALDO_BENCH_ITERS", "10"))
 
     cfg = _flagship_cfg(dim=dim, load_dim=load_dim, vid_len=vid_len)
-    cfg.compute_dtype = os.environ.get("WALDO_BENCH_DTYPE", "float32")
+    cfg.compute_dtype = os.environ.get("WALDO_BENCH_DTYPE", "bfloat16")
     if os.environ.get("WALDO_BENCH_FAST_INVERSE", "0") == "1":
         cfg.model.fast_inverse_warp = True
     syn = Synthesizer(cfg)

@@ -30,6 +30,7 @@ MODE_TO_NET = {
     "img_object_extractor": "pe",
     "vid_pose_generator": "pg",
     "vid_inpainting": "ii",
+    "vid_inpainting_dis": "id",
 }
 
 
@@ -54,7 +55,13 @@ class Trainer:
             self.states[net] = replicate(NetState.create(p, tx), self.mesh)
 
         self._steps = {}
-        for mode in cfg.vid_modes + cfg.img_modes:
+        modes = list(cfg.vid_modes) + list(cfg.img_modes)
+        # discriminator step runs after the generator when "dis" is active
+        # (reference synthesizer_trainer step order, synthesizer.py:640-678)
+        if "vid_inpainting" in modes and "dis" in cfg.model.vid_inpainting_losses:
+            modes.append("vid_inpainting_dis")
+        self._train_modes = modes
+        for mode in modes:
             if mode in MODE_TO_NET:
                 self._steps[mode] = self._build_step(mode)
 
@@ -110,13 +117,26 @@ class Trainer:
 
             net = "pg"
         elif mode == "vid_inpainting":
-            def loss_fn(params, pe_params, batch, rng, it):
-                return syn.inpaint_loss(params, pe_params, batch, rng, it)
+            def loss_fn(params, pe_params, batch, rng, it, id_params=None):
+                return syn.inpaint_loss(params, pe_params, batch, rng, it,
+                                        id_params=id_params)
 
             def step(state_ii, states, batch, rng, it):
-                return train_step_fn(loss_fn)(state_ii, states["pe"].params, batch, rng, it)
+                idp = states["id"].params if "id" in states else None
+                return train_step_fn(
+                    lambda p, b, r, i: loss_fn(p, states["pe"].params, b, r, i, idp)
+                )(state_ii, batch, rng, it)
 
             net = "ii"
+        elif mode == "vid_inpainting_dis":
+            def step(state_id, states, batch, rng, it):
+                return train_step_fn(
+                    lambda p, b, r, i: syn.discriminate_loss(
+                        p, states["ii"].params, states["pe"].params, b, r, i
+                    )
+                )(state_id, batch, rng, it)
+
+            net = "id"
         else:
             raise ValueError(mode)
 
@@ -165,7 +185,7 @@ class Trainer:
             log = (cfg.log_freq and it % cfg.log_freq == 0) or it < 10 or (
                 it < 1000 and it % 100 == 0
             )
-            for mode in cfg.img_modes + cfg.vid_modes:
+            for mode in self._train_modes:
                 if mode not in self._steps:
                     continue
                 net, step = self._steps[mode]

@@ -59,3 +59,39 @@ def gather_time(x, ts):
         axis=1,
     )
     return out.reshape(ts.shape + x.shape[2:])
+
+
+def onehot(soft_code, straight_through=False):
+    """Argmax one-hot with optional straight-through estimator
+    (reference tools/utils.py:98-103)."""
+    import jax
+
+    eye = jnp.eye(soft_code.shape[-1], dtype=soft_code.dtype)
+    hard = eye[jnp.argmax(soft_code, axis=-1)]
+    if straight_through:
+        hard = soft_code + jax.lax.stop_gradient(hard - soft_code)
+    return hard
+
+
+def soften(code, codebook_size):
+    """Index -> one-hot (reference tools/utils.py:105-108)."""
+    return jnp.eye(codebook_size, dtype=jnp.float32)[code]
+
+
+def to_patch(x, patch_size):
+    """(B,[T,]H,W,C) -> (B, N, P, P, C) non-overlapping patches
+    (reference tools/utils.py:114-118, channel-last)."""
+    x, _ = flatten_vid(x)
+    b, h, w, c = x.shape
+    p = patch_size
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, -1, p, p, c)
+
+
+def from_patch(x, tgt_size):
+    """(B*?, N, P, P, C) -> tgt_size (reference tools/utils.py:120-123)."""
+    b = tgt_size[0]
+    h, w, c = tgt_size[-3:]
+    p = x.shape[-2]
+    x = x.reshape(b, -1, h // p, w // p, p, p, c)
+    return x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(tgt_size)
