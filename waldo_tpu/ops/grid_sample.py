@@ -40,12 +40,10 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float32")
     impl = _IMPL
     src = img.shape[-3] * img.shape[-2]
     if impl == "pallas":
-        # inference-only fused kernel (no custom VJP yet); falls back to the
-        # differentiable paths outside its specialization envelope
+        # fused Pallas forward with MXU-matmul backward (custom VJP); falls
+        # back to the plain paths outside its specialization envelope
         if img.shape[-1] == 1 and src <= (1 << 18):
-            from .pallas.grid_sample import grid_sample_pallas
-
-            return grid_sample_pallas(img, grid, precision=precision)
+            return _pallas_with_mxu_grad(img, grid, precision)
         impl = "auto"
     if impl == "auto":
         impl = (
@@ -119,6 +117,33 @@ def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float
             ),
         ).reshape(ng * group, p, c)[:b]
     return out.reshape(b, gh, gw, c).astype(dtype)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pallas_with_mxu_grad(img, grid, precision):
+    from .pallas.grid_sample import grid_sample_pallas
+
+    return grid_sample_pallas(img, grid, precision=precision)
+
+
+def _pallas_fwd(img, grid, precision):
+    from .pallas.grid_sample import grid_sample_pallas
+
+    return grid_sample_pallas(img, grid, precision=precision), (img, grid)
+
+
+def _pallas_bwd(precision, res, g):
+    img, grid = res
+    # the backward of the hat-matmul formulation is itself two matmuls;
+    # reuse the differentiable MXU path's VJP
+    _, vjp = jax.vjp(lambda i, gr: grid_sample_mxu(i, gr, precision=precision), img, grid)
+    return vjp(g)
+
+
+_pallas_with_mxu_grad.defvjp(_pallas_fwd, _pallas_bwd)
 
 
 def grid_sample_ref(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
