@@ -320,7 +320,13 @@ class Warper:
         hd, wd = self.src_shape_hd
         c = x.shape[-1]
         ctx = gather_time(x, ctx_ts)  # B Tc Tp Hd Wd C
-        out = _bsample(ctx, self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2).reshape(b * tc * tp, hd, wd, 2))
+        # pixel/layout values tolerate bf16 sampling error (~4e-3); this is
+        # the most expensive sample of the pipeline (C=3+Nl at load res)
+        out = grid_sample(
+            ctx.reshape(-1, hd, wd, c),
+            (self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)),
+            precision="fast",
+        )
         out = out.reshape(b, tc, tp, hd, wd, c)
 
         score = ((alpha + 1) / 2).sum(axis=-1, keepdims=True)  # B Tc Tp Hd Wd 1
