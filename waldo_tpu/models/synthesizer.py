@@ -171,6 +171,20 @@ class Synthesizer:
         occ = compute_occ(occ_score)
         return occ, obj_alpha, bg_alpha, grids
 
+    def decode_layer(self, real_input, grids, occ, obj_alpha, bg_alpha,
+                     time_dropout_rng=None):
+        """Per-layer texture extraction + occlusion-aware temporal reduction
+        (reference lvd.py:136-140 'decode_layer' mode)."""
+        from .lvd import reduce_time
+
+        obj, bg = self.warper.layer_from_input(real_input, grids)
+        occ_obj_alpha, occ_bg_alpha, output_alpha = self.warper.alpha_to_alpha(
+            obj_alpha, bg_alpha, grids, occ
+        )
+        obj, bg = reduce_time(obj, bg, occ_obj_alpha, occ_bg_alpha,
+                              time_dropout_rng=time_dropout_rng)
+        return obj, bg, output_alpha
+
     def decode_output(self, real_input, grids, occ, obj_alpha, bg_alpha, cls,
                       ctx_ts, pred_ts, restrict_to_ctx=None):
         """reference lvd.py:141-153."""

@@ -173,7 +173,7 @@ class Trainer:
                        num_workers=cfg.data.num_workers)
         )
         eval_every = cfg.num_iter_eval
-        best_vid = None
+        self._best_vid = None
         start_iter = 0
         if cfg.cont_train:
             it = self.ckpt.latest_iter("pe")
@@ -207,7 +207,7 @@ class Trainer:
                 print(f"Iteration {it:05d}/{num_iter:05d} ({dt:.1f}s)", flush=True)
 
             if eval_every and it > 0 and it % eval_every == 0:
-                self.evaluate(it, best_tracker=lambda v: None)
+                self.evaluate(it)
 
             if cfg.save_latest_freq > 0 and it % cfg.save_latest_freq == 0 and self.is_main:
                 self.save(it, name="latest")
@@ -218,7 +218,7 @@ class Trainer:
             self.save(num_iter - 1, name="latest")
             print("Training was successfully finished.")
 
-    def evaluate(self, it, best_tracker=None):
+    def evaluate(self, it):
         cfg = self.cfg
         ds = create_dataset(cfg, phase=cfg.data.eval_phase)
         loader = DataLoader(ds, cfg.batch_size_vid, shuffle=False,
@@ -240,6 +240,14 @@ class Trainer:
         if self.logger:
             self.logger.log_scalars("vid/eval", means, it)
             print(f"[EVAL] iter {it}: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
+        # metric-gated best checkpoint (reference synthesizer_trainer.py:107-119)
+        metric = cfg.vid_metric
+        if metric and metric in means and self.is_main:
+            score = means[metric]
+            if self._best_vid is None or score < self._best_vid:
+                self._best_vid = score
+                self.save(it, name="best_vid")
+                print(f"[EVAL] new best_vid ({metric}={score:.4f})")
         return means
 
     def save(self, it, name=None):
