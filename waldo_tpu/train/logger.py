@@ -75,6 +75,15 @@ class Logger:
         x = np.clip(np.asarray(x, np.float32), span[0], span[1])
         return (x - span[0]) / (span[1] - span[0])
 
+    @staticmethod
+    def alpha_checkerboard(img, alpha, cell=8):
+        """Compose rgb (.., H, W, 3) in [0,1] over a checkerboard using
+        alpha (.., H, W, 1) in [0,1] (reference logger.py:224-263)."""
+        h, w = img.shape[-3], img.shape[-2]
+        yy, xx = np.mgrid[0:h, 0:w]
+        board = (((yy // cell) + (xx // cell)) % 2 * 0.2 + 0.6)[..., None]
+        return img * alpha + board * (1 - alpha)
+
     def log_img(self, name, img, step, span=(-1, 1)):
         """img (B, H, W, 3) in span -> grid."""
         img = self._to01(img, span)

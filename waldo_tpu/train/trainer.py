@@ -237,6 +237,16 @@ class Trainer:
             if cfg.max_batch_eval_vid is not None and i + 1 >= cfg.max_batch_eval_vid:
                 break
         means = {k: float(np.mean(v)) for k, v in agg.items()}
+        if jax.process_count() > 1:
+            # cross-host metric mean (reference sync_scalars, synthesizer.py:196-201)
+            from jax.experimental import multihost_utils
+
+            keys = sorted(means)
+            vec = np.asarray([means[k] for k in keys], np.float32)
+            vec = np.asarray(
+                multihost_utils.process_allgather(vec)
+            ).mean(axis=0)
+            means = dict(zip(keys, vec.tolist()))
         if self.logger:
             self.logger.log_scalars("vid/eval", means, it)
             print(f"[EVAL] iter {it}: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())))
