@@ -116,11 +116,20 @@ class InverseWarp:
             inv_dy = jnp.pad(inv_dy, ((0, 0), (p, p), (p, p)))
             mask = jnp.pad(mask, ((0, 0), (p, p), (p, p)))
 
+        kern3 = jnp.tile(jnp.asarray(self.kernel)[:, :, None, None], (1, 1, 1, 3))
         for _ in range(niter):
             new_mask = _neighbor_any(mask) & (~mask)
-            fx = _conv2d_same(inv_dx, self.kernel)
-            fy = _conv2d_same(inv_dy, self.kernel)
-            s = _conv2d_same(mask.astype(jnp.float32), self.kernel)
+            # one depthwise conv over (dx, dy, mask) instead of three
+            stacked = jnp.stack([inv_dx, inv_dy, mask.astype(jnp.float32)], axis=-1)
+            k = self.kernel.shape[0]
+            filt = jax.lax.conv_general_dilated(
+                stacked, kern3, (1, 1),
+                [(k // 2, k // 2), (k // 2, k // 2)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=3,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            fx, fy, s = filt[..., 0], filt[..., 1], filt[..., 2]
             s = jnp.where(s == 0, 1.0, s)
             inv_dx = jnp.where(new_mask, fx / s, inv_dx)
             inv_dy = jnp.where(new_mask, fy / s, inv_dy)
