@@ -28,6 +28,7 @@ def main():
     from __graft_entry__ import _flagship_cfg, _batch_for
     from waldo_tpu.models import Synthesizer
 
+    dataset = os.environ.get("WALDO_BENCH_DATASET", "cityscapes")
     dim = int(os.environ.get("WALDO_BENCH_DIM", "128"))
     load_dim = int(os.environ.get("WALDO_BENCH_LOAD_DIM", "256"))
     vid_len = int(os.environ.get("WALDO_BENCH_VID_LEN", "14"))
@@ -35,6 +36,12 @@ def main():
     iters = int(os.environ.get("WALDO_BENCH_ITERS", "10"))
 
     cfg = _flagship_cfg(dim=dim, load_dim=load_dim, vid_len=vid_len)
+    if dataset == "kitti":
+        # KITTI geometry (scripts/kitti/test.sh): aspect 3.25, latent 8x26
+        cfg.aspect_ratio = 3.25
+        cfg.model.latent_shape = (dim // 16, int(dim * 3.25) // 16)
+        cfg.data.dataset = "kitti"
+        cfg.model.pg_num_timesteps = vid_len
     cfg.compute_dtype = os.environ.get("WALDO_BENCH_DTYPE", "bfloat16")
     if os.environ.get("WALDO_BENCH_FAST_INVERSE", "0") == "1":
         cfg.model.fast_inverse_warp = True
@@ -58,7 +65,7 @@ def main():
     vs = fps / base if base > 0 else 0.0
     out_h = load_dim if load_dim > 0 else dim
     print(json.dumps({
-        "metric": f"pred_frames_per_sec_per_chip(cityscapes {out_h}x{out_h*2}, {vid_len}-frame rollout)",
+        "metric": f"pred_frames_per_sec_per_chip({dataset} {out_h}x{int(out_h*cfg.aspect_ratio)}, {vid_len}-frame rollout)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3),
