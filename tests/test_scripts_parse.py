@@ -1,0 +1,61 @@
+"""Every launch script's flag set must parse into a valid Config."""
+import glob
+import os
+import re
+import shlex
+
+import pytest
+
+from waldo_tpu.config import parse_cli
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = sorted(
+    p for p in glob.glob(os.path.join(ROOT, "scripts", "*", "*.sh"))
+    if "test_mat" not in p and "demo" not in p  # wrappers delegating to test.sh
+)
+
+
+def extract_args(path):
+    text = open(path).read().replace("\\\n", " ")
+    m = re.search(r"python -m waldo_tpu\.cli\.(train|test)\s+(.*)", text)
+    assert m, path
+    args = shlex.split(m.group(2))
+    # drop shell var references / pass-through tokens
+    out = []
+    skip_next = False
+    for i, a in enumerate(args):
+        if skip_next:
+            skip_next = False
+            continue
+        if a.startswith('"$') or a.startswith("$"):
+            continue
+        if a.startswith("--") and i + 1 < len(args) and (
+            args[i + 1].startswith('"$') or args[i + 1].startswith("$")
+        ):
+            skip_next = True
+            continue
+        out.append(a)
+    return out
+
+
+@pytest.mark.parametrize("script", SCRIPTS, ids=[os.path.relpath(s, ROOT) for s in SCRIPTS])
+def test_script_flags_parse(script):
+    cfg = parse_cli(extract_args(script))
+    assert cfg.dim in (128,)
+    assert cfg.model.num_obj == 16
+    if "kitti" in script:
+        assert cfg.aspect_ratio == 3.25
+        assert tuple(cfg.model.latent_shape) == (8, 26)
+    else:
+        assert cfg.aspect_ratio == 2.0
+        assert tuple(cfg.model.latent_shape) == (8, 16)
+    # module toggles are coherent with the stage
+    if "train_lvd" in script:
+        assert cfg.vid_modes == ["vid_object_extractor"]
+    if "train_flp" in script:
+        assert cfg.model.use_pg
+    if "train_wif" in script:
+        assert cfg.model.use_ii
+    if os.path.basename(script) == "test.sh":
+        assert cfg.vid_modes == ["vid_prediction"]
+        assert cfg.model.restrict_to_ctx
