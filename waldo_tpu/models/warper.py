@@ -243,38 +243,42 @@ class Warper:
         alpha = self.occlusion_product(alpha, occ_w) * alpha  # B Tw No+1 Hd Wd 1
         alpha_unflt = alpha
 
-        # per-(ctx,pred) sampling grids (lvd.py:655-660)
+        # per-(pred) sampling grids, shared across ctx (lvd.py:655-660): fold
+        # the ctx axis into channels so the sampler runs Tc-fewer, Tc-wider
+        # matmuls (better MXU utilization on the 64x64 object textures)
         src_obj = to_pred(grids.src_obj)  # B Tp No H W 2
-        src_obj = jnp.broadcast_to(src_obj[:, None], (b, tc, tp, no, h, w, 2))
-        src_bg = to_pred(grids.src_bg)
-        src_bg = jnp.broadcast_to(src_bg[:, None], (b, tc, tp, h, w, 2))
+        src_bg = to_pred(grids.src_bg)  # B Tp H W 2
         pair_grids = WarpGrids(
             None,
-            src_obj.reshape(b * tc, tp, no, h, w, 2),
+            src_obj.reshape(b, tp, no, h, w, 2),
             None,
-            src_bg.reshape(b * tc, tp, h, w, 2),
+            src_bg.reshape(b, tp, h, w, 2),
         )
 
-        # flow fields in layer referentials (lvd.py:663-666)
+        # flow fields in layer referentials (lvd.py:663-666), ctx in channels
         obj_flow = to_multi_ctx(grids.tgt_obj) - to_pred(grids.tgt_obj)[:, None]
-        obj_flow = obj_flow.reshape(b * tc, tp, no, ho, wo, 2)
+        obj_flow = jnp.moveaxis(obj_flow, 1, -2)  # B Tp No Ho Wo Tc 2
+        obj_flow = obj_flow.reshape(b, tp, no, ho, wo, tc * 2)
         bg_flow = to_multi_ctx(grids.tgt_bg) - to_pred(grids.tgt_bg)[:, None]
-        bg_flow = bg_flow.reshape(b * tc, tp, h, w, 2)
+        bg_flow = jnp.moveaxis(bg_flow, 1, -2).reshape(b, tp, h, w, tc * 2)
 
-        # ghost-object suppression (lvd.py:785-791, restrict_to_ctx path)
+        # ghost-object suppression (lvd.py:785-791, restrict_to_ctx path);
+        # ctx-independent, broadcast over the ctx axis
         if restrict_to_ctx and not self.allow_ghost:
             ones = jnp.ones_like(obj_flow[..., :1])
-            is_obj = self.obj_to_output(ones, pair_grids, delta=0.0)
+            is_obj = self.obj_to_output(ones, pair_grids, delta=0.0)  # B Tp No H W 1
             if self.scale_hd != 1:
                 is_obj = resize(is_obj, self.scale_hd)
-            is_obj = (is_obj > 0.9).astype(x.dtype).reshape(b, tc, tp, no, hd, wd, 1)
+            is_obj = (is_obj > 0.9).astype(x.dtype).reshape(b, 1, tp, no, hd, wd, 1)
             is_obj = jnp.concatenate([jnp.ones_like(is_obj[:, :, :, :1]), is_obj], axis=3)
         else:
             is_obj = 1.0
 
-        # warp layer flows to output frame (lvd.py:669-673)
+        # warp layer flows to output frame (lvd.py:669-673); unpack the ctx
+        # channels back into an axis
         flow = self.layer_to_output(obj_flow, bg_flow, pair_grids, delta_bg=0.0, delta_obj=0.0)
-        flow = flow.reshape(b, tc, tp, no + 1, h, w, 2)
+        flow = flow.reshape(b, tp, no + 1, h, w, tc, 2)
+        flow = jnp.moveaxis(flow, -2, 1)  # B Tc Tp No+1 H W 2
         if self.scale_hd != 1:
             flow = resize(flow, self.scale_hd)  # B Tc Tp No+1 Hd Wd 2
         sample_grid = self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)
