@@ -25,9 +25,11 @@ from .mat import Generator
 
 
 def expand_mask(mask, num=1):
-    """Binary 4-neighborhood dilation of (B,H,W,1) masks
-    (reference tools/utils.py:300-323, hard path)."""
-    m = mask > 0.5
+    """Binary 4-neighborhood dilation of (..., H, W, 1) masks
+    (reference tools/utils.py:300-323, hard path); any leading dims."""
+    lead = mask.shape[:-3]
+    h, w, c = mask.shape[-3:]
+    m = (mask > 0.5).reshape((-1, h, w, c))
     for _ in range(num):
         m = (
             m
@@ -36,18 +38,19 @@ def expand_mask(mask, num=1):
             | jnp.pad(m, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :-1]
             | jnp.pad(m, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:]
         )
-    return m.astype(mask.dtype)
+    return m.reshape(lead + (h, w, c)).astype(mask.dtype)
 
 
 class MatInpainter:
-    def __init__(self, weights_path: Optional[str] = None, rng=None):
-        self.net = Generator(img_resolution=512)
+    def __init__(self, weights_path: Optional[str] = None, rng=None, resolution: int = 512):
+        self.res = resolution
+        self.net = Generator(img_resolution=resolution)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         if weights_path and os.path.exists(weights_path):
             self.params = self._load(weights_path)
         else:
-            dummy = jnp.zeros((1, 512, 512, 3))
-            dmask = jnp.ones((1, 512, 512, 1))
+            dummy = jnp.zeros((1, resolution, resolution, 3))
+            dmask = jnp.ones((1, resolution, resolution, 1))
             z = jnp.zeros((1, 512))
             self.params = self.net.init(
                 {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
@@ -71,7 +74,7 @@ class MatInpainter:
         """x (B,H,W,3) in [-1,1]; mask (B,H,W,1) with 1 = hole to fill."""
         b, h, w, _ = x.shape
         if h == w:
-            h0, w0 = 512, 512
+            h0, w0 = self.res, self.res
             xi, mi = x, mask
             if (h, w) != (h0, w0):
                 xi = resize(x, shape=(h0, w0))
@@ -85,7 +88,7 @@ class MatInpainter:
                 out = resize(out, shape=(h, w))
             return out
 
-        h0, w0 = 512, 1024
+        h0, w0 = self.res, self.res * 2
         xi, mi = x, mask
         if (h, w) != (h0, w0):
             xi = resize(x, shape=(h0, w0))
@@ -94,17 +97,18 @@ class MatInpainter:
             xi = (1 - mi) * xi
         x2 = jnp.zeros_like(xi)
         c = jnp.zeros_like(mi)
+        half = self.res // 2
         tri = jnp.concatenate(
-            [jnp.linspace(1, 100, 256), jnp.linspace(100, 1, 256)]
+            [jnp.linspace(1, 100, half), jnp.linspace(100, 1, half)]
         ).reshape(1, 1, -1, 1)
         for i in range(3):
-            s = 256 * i
-            xs = xi[:, :, s: s + 512]
-            ms = mi[:, :, s: s + 512]
+            s = half * i
+            xs = xi[:, :, s: s + self.res]
+            ms = mi[:, :, s: s + self.res]
             m = expand_mask(ms, 3) if exp else ms
             x2s = self._apply(self.params, xs, 1 - m, self._next_z(b))
-            x2 = x2.at[:, :, s: s + 512].add(x2s * tri)
-            c = c.at[:, :, s: s + 512].add(tri)
+            x2 = x2.at[:, :, s: s + self.res].add(x2s * tri)
+            c = c.at[:, :, s: s + self.res].add(tri)
         x2 = x2 / c
         out = x2 * mi + xi * (1 - mi)
         if (h, w) != (h0, w0):

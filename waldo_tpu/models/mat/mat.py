@@ -60,15 +60,16 @@ def window_reverse(windows, ws, h, w):
 
 
 def shift_attn_mask(h, w, window_size, shift):
-    """SW-MSA region mask (reference mat.py:226-248) as numpy constant."""
-    img = np.zeros((h, w), np.int32)
+    """SW-MSA region mask (reference mat.py:226-248), pure numpy constant
+    (must not touch jnp: it is evaluated at trace time inside jit)."""
+    img = np.zeros((h, w), np.float32)
     cnt = 0
     for hs in (slice(0, -window_size), slice(-window_size, -shift), slice(-shift, None)):
         for wsl in (slice(0, -window_size), slice(-window_size, -shift), slice(-shift, None)):
             img[hs, wsl] = cnt
             cnt += 1
-    mw = window_partition(jnp.asarray(img[None, :, :, None], jnp.float32), window_size)
-    mw = np.asarray(mw[..., 0])
+    ws = window_size
+    mw = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
     attn = mw[:, None, :] - mw[:, :, None]
     return jnp.asarray(np.where(attn != 0, -100.0, 0.0), jnp.float32)
 
