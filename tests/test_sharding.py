@@ -44,3 +44,24 @@ def test_data_and_seq_sharding_match_single_device(tmp_path):
     diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), params_1d, params_2d)
     max_diff = max(jax.tree.leaves(diffs))
     assert max_diff < 1e-3, max_diff
+
+
+def test_dryrun_multichip_fresh_process():
+    """The driver's judged artifact: dryrun_multichip(8) in a bare subprocess.
+
+    No conftest help — env stripped of XLA_FLAGS/JAX platform hints, so the
+    entry point must do its own platform pinning + virtual-device setup
+    (round-1 regression: it touched the TPU backend before pinning)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=1800,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "dryrun_multichip(8) ok" in out.stdout, out.stdout
