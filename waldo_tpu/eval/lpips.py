@@ -112,22 +112,52 @@ class LPIPS:
         return cls(net, params, lin)
 
 
-def convert_lpips_weights(out_path: str, net: str = "alex"):
+def convert_lpips_state_dict(state_dict) -> dict:
+    """Flat torch `lpips` package state dict -> our npz arrays.
+
+    Expected keys (lpips package layout): `net.slice{k}.{idx}.weight/bias`
+    for the backbone convs (torchvision module indices preserved inside each
+    slice) and `lin{i}.model.1.weight` (1x1 conv) for the linear heads.
+    torch conv weight (O,I,kh,kw) -> flax kernel (kh,kw,I,O); lin layers ->
+    per-channel weight vectors."""
+    import re
+
+    def npy(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    conv_pat = re.compile(r"^net\.slice(\d+)\.(\d+)\.weight$")
+    convs = sorted(
+        (
+            (int(m.group(1)), int(m.group(2)), k)
+            for k in state_dict
+            if (m := conv_pat.match(k))
+        )
+    )
+    arrays = {}
+    for i, (_, _, k) in enumerate(convs):
+        w = npy(state_dict[k])
+        assert w.ndim == 4, (k, w.shape)
+        arrays[f"conv{i}_kernel"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+        arrays[f"conv{i}_bias"] = npy(state_dict[k[:-len("weight")] + "bias"])
+    i = 0
+    while f"lin{i}.model.1.weight" in state_dict:
+        w = npy(state_dict[f"lin{i}.model.1.weight"])  # (1, C, 1, 1)
+        arrays[f"lin{i}"] = w.reshape(-1)
+        i += 1
+    assert i == 5, f"expected 5 lin heads, got {i}"
+    return arrays
+
+
+def convert_lpips_weights(out_path: str, net: str = "alex", state_dict=None):
     """Convert torch `lpips` package weights to our npz (run where available).
 
-    torch conv weight (O,I,kh,kw) -> flax kernel (kh,kw,I,O); lin layers are
-    1x1 convs -> per-channel weight vectors."""
-    import lpips as torch_lpips  # noqa
+    Pass `state_dict` (the flat torch state dict) when the lpips package is
+    not importable here."""
+    if state_dict is None:
+        import lpips as torch_lpips  # noqa
 
-    model = torch_lpips.LPIPS(net=net)
-    arrays = {}
-    convs = [m for m in model.net.modules() if m.__class__.__name__ == "Conv2d"]
-    for i, conv in enumerate(convs):
-        arrays[f"conv{i}_kernel"] = conv.weight.detach().numpy().transpose(2, 3, 1, 0)
-        arrays[f"conv{i}_bias"] = conv.bias.detach().numpy()
-    for i, lin in enumerate(model.lins):
-        w = lin.model[-1].weight.detach().numpy()  # (1, C, 1, 1)
-        arrays[f"lin{i}"] = w.reshape(-1)
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        state_dict = torch_lpips.LPIPS(net=net).state_dict()
+    arrays = convert_lpips_state_dict(state_dict)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.savez(out_path, **arrays)
     return out_path

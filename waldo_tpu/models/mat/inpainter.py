@@ -116,15 +116,6 @@ class MatInpainter:
         return out
 
 
-def convert_mat_weights(pkl_path: str, out_path: str):
-    """Convert the reference Places_512_FullData.pkl to our flax param tree.
-
-    Must run in an environment with torch + the reference repo importable
-    (it unpickles torch modules via the reference legacy loader); maps torch
-    NCHW conv weights (O,I,kh,kw) -> flax (kh,kw,I,O) and Linear (O,I) ->
-    (I,O) following the module-name correspondence documented here.
-    """
-    raise NotImplementedError(
-        "offline conversion utility: run scripts/convert_mat.py in a torch "
-        "environment with the reference repo on PYTHONPATH"
-    )
+# checkpoint conversion lives in convert.py (persistence-pickle reader +
+# torch->flax name/layout map); re-exported here for the public API
+from .convert import convert_mat_weights, load_network_pkl  # noqa: E402,F401

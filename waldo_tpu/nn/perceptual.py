@@ -1,8 +1,10 @@
 """VGG19 5-slice perceptual loss (reference models/modules/perceptual.py:6-52).
 
-Feature L1 with weights [1/32, 1/16, 1/8, 1/4, 1]. Pretrained torchvision
-weights must be converted offline (`convert_vgg19_weights`; no egress here);
-without them `VGGLoss.maybe_load()` returns None and callers skip the term.
+Feature L1 with weights [1/32, 1/16, 1/8, 1/4, 1], feature taps at
+relu1_1/2_1/3_1/4_1/5_1 (the reference's feature slices 0-2, 2-7, 7-12,
+12-21, 21-30 of torchvision vgg19.features). Pretrained torchvision weights
+must be converted offline (`convert_vgg19_weights`; no egress here); without
+them `VGGLoss.maybe_load()` returns None and callers skip the term.
 """
 from __future__ import annotations
 
@@ -14,9 +16,15 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-# torchvision vgg19.features conv layout per slice (reference slices 0-2,2-7,7-12,12-21,21-30)
-_SLICES = [1, 2, 2, 4, 4]
-_CHANNELS = [64, 128, 256, 512, 512]
+# torchvision vgg19.features through relu5_1: 13 convs, 'P' = 2x2 maxpool.
+# The reference taps relu1_1 (after conv 0), relu2_1 (conv 2), relu3_1
+# (conv 4), relu4_1 (conv 8), relu5_1 (conv 12).
+_VGG19_LAYOUT = [64, 64, "P", 128, 128, "P", 256, 256, 256, 256, "P",
+                 512, 512, 512, 512, "P", 512]
+_TAPS = (0, 2, 4, 8, 12)
+# conv positions within the full torchvision features Sequential (for the
+# offline converter: features.<idx>.weight)
+VGG19_TORCH_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28]
 _WEIGHTS = [1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0]
 
 
@@ -25,17 +33,15 @@ class VGG19Features(nn.Module):
     def __call__(self, x):
         feats = []
         idx = 0
-        for s, (n_convs, ch) in enumerate(zip(_SLICES, _CHANNELS)):
-            for k in range(n_convs):
-                x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{idx}")(x)
-                x = nn.relu(x)
-                idx += 1
-                if s == 0 and k == 0:
-                    feats.append(x)  # relu1_1 (slice1 = features[0:2])
-            if s > 0:
-                feats.append(x)
-            if s < len(_SLICES) - 1:
+        for item in _VGG19_LAYOUT:
+            if item == "P":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            x = nn.Conv(item, (3, 3), padding=1, name=f"conv{idx}")(x)
+            x = nn.relu(x)
+            if idx in _TAPS:
+                feats.append(x)
+            idx += 1
         return feats
 
 
@@ -67,7 +73,6 @@ class VGGLoss:
             return None
         data = np.load(path)
         params = {"params": {}}
-        n = sum(_SLICES) + 4  # 16 convs in vgg19 features... use stored count
         i = 0
         while f"conv{i}_kernel" in data:
             params["params"][f"conv{i}"] = {
@@ -75,21 +80,36 @@ class VGGLoss:
                 "bias": jnp.asarray(data[f"conv{i}_bias"]),
             }
             i += 1
+        assert i == len(VGG19_TORCH_CONV_IDX), f"expected 13 convs, got {i}"
         return cls(params)
 
 
-def convert_vgg19_weights(out_path: str):
-    """torchvision vgg19 -> npz (run offline where torchvision exists)."""
-    import torchvision
+def convert_vgg19_state_dict(state_dict) -> dict:
+    """torchvision vgg19 `features.<i>.weight/bias` state dict -> npz arrays.
 
-    feats = torchvision.models.vgg19(pretrained=True).features
+    Accepts torch tensors or numpy arrays; only the 13 convs through relu5_1
+    are used."""
+    def npy(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
     arrays = {}
-    i = 0
-    for m in feats:
-        if m.__class__.__name__ == "Conv2d":
-            arrays[f"conv{i}_kernel"] = m.weight.detach().numpy().transpose(2, 3, 1, 0)
-            arrays[f"conv{i}_bias"] = m.bias.detach().numpy()
-            i += 1
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    for i, idx in enumerate(VGG19_TORCH_CONV_IDX):
+        w = npy(state_dict[f"features.{idx}.weight"])  # (O,I,kh,kw)
+        b = npy(state_dict[f"features.{idx}.bias"])
+        arrays[f"conv{i}_kernel"] = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+        arrays[f"conv{i}_bias"] = b
+    return arrays
+
+
+def convert_vgg19_weights(out_path: str, state_dict=None):
+    """torchvision vgg19 -> npz. Pass `state_dict` (features.* keys) when the
+    torchvision package/weights are not importable here; otherwise runs
+    offline where they are."""
+    if state_dict is None:
+        import torchvision
+
+        state_dict = torchvision.models.vgg19(pretrained=True).state_dict()
+    arrays = convert_vgg19_state_dict(state_dict)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.savez(out_path, **arrays)
     return out_path
