@@ -59,3 +59,51 @@ def test_script_flags_parse(script):
     if os.path.basename(script) == "test.sh":
         assert cfg.vid_modes == ["vid_prediction"]
         assert cfg.model.restrict_to_ctx
+
+
+def test_all_six_scripts_per_dataset():
+    for ds in ("cityscapes", "kitti"):
+        names = sorted(os.path.basename(p)
+                       for p in glob.glob(os.path.join(ROOT, "scripts", ds, "*.sh")))
+        assert names == ["demo.sh", "test.sh", "test_mat.sh",
+                         "train_flp.sh", "train_lvd.sh", "train_wif.sh"], (ds, names)
+
+
+def extract_wrapper_extra(path):
+    """Flags a test_mat/demo wrapper appends onto its delegate invocation."""
+    text = open(path).read().replace("\\\n", " ")
+    m = re.search(r'bash "\$\(dirname "\$0"\)/\w+\.sh"\s+(.*)', text)
+    assert m, path
+    args = [a for a in shlex.split(m.group(1))
+            if not (a.startswith('"$') or a.startswith("$"))]
+    # drop flags whose value was a shell var (e.g. --data.dataroot "$DEMO_ROOT")
+    out, skip = [], False
+    raw = shlex.split(m.group(1))
+    for i, a in enumerate(raw):
+        if skip:
+            skip = False
+            continue
+        if a.startswith("$") or a.startswith('"$'):
+            continue
+        if a.startswith("--") and i + 1 < len(raw) and raw[i + 1].startswith("$"):
+            skip = True
+            continue
+        out.append(a)
+    return out
+
+
+@pytest.mark.parametrize("ds", ["cityscapes", "kitti"])
+def test_mat_wrapper_flags_parse(ds):
+    """test_mat.sh + demo.sh delegate chains resolve to a valid MAT config
+    (reference scripts/*/test_mat.sh:46-48 flag set)."""
+    base = extract_args(os.path.join(ROOT, "scripts", ds, "test.sh"))
+    extra = extract_wrapper_extra(os.path.join(ROOT, "scripts", ds, "test_mat.sh"))
+    cfg = parse_cli(base + extra)
+    m = cfg.model
+    assert m.use_inpainter and m.use_mat_inpainter and m.loop_ii
+    assert m.inpaint_obj and m.propagate_unique and m.propagate_obj
+    assert m.use_shadows and m.use_expansion and m.soft_shadow
+    assert m.inpainter_path.endswith(".npz")
+    demo_extra = extract_wrapper_extra(os.path.join(ROOT, "scripts", ds, "demo.sh"))
+    cfg2 = parse_cli(base + extra + demo_extra)
+    assert cfg2.name == f"demo_{ds}"

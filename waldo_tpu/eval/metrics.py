@@ -68,9 +68,19 @@ def psnr(a, b, max_val=1.0):
 
 
 def ms_ssim(a, b, max_val=1.0, weights=_MSSSIM_WEIGHTS):
-    """Multi-scale SSIM (B,H,W,C) -> (B,)."""
+    """Multi-scale SSIM (B,H,W,C) -> (B,).
+
+    tf.image.ssim_multiscale parity for inputs >= 176px (11px filter x 2^4);
+    smaller inputs clamp the number of scales (renormalized weights) instead
+    of erroring — tf itself refuses such inputs."""
+    max_levels = 1
+    size = min(a.shape[1], a.shape[2])
+    while max_levels < len(weights) and (size >> max_levels) >= 11:
+        max_levels += 1
+    weights = weights[:max_levels]
     levels = len(weights)
     w = jnp.asarray(weights)
+    w = w / w.sum() if levels < len(_MSSSIM_WEIGHTS) else w
     mcs = []
     for i in range(levels):
         s, cs = _ssim_per_channel(a, b, max_val)
@@ -122,9 +132,31 @@ def main(argv=None):
     parser.add_argument("--results_root", type=str, default="results")
     parser.add_argument("--real_folder", type=str, default="real_vid")
     parser.add_argument("--fake_folder", type=str, default="inp_pred_vid")
-    parser.add_argument("--metrics", type=str, nargs="+", default=["ssim", "msssim"])
+    parser.add_argument("--metrics", type=str, nargs="+",
+                        default=["lpips", "msssim"])
     parser.add_argument("--batch_size", type=int, default=16)
     args = parser.parse_args(argv)
+
+    lpips_fn = None
+    if "lpips" in args.metrics:
+        lpips_fn = get_lpips()
+        if lpips_fn is None:
+            import sys
+
+            from .lpips import LPIPS
+
+            print(
+                "WARNING: LPIPS requested (the reference's default metric, "
+                "tools/eval/metrics.py:127) but no converted weights at "
+                f"{LPIPS.weights_path()} — falling back to ssim. Convert with "
+                "waldo_tpu.eval.lpips.convert_lpips_weights.",
+                file=sys.stderr, flush=True,
+            )
+            args.metrics = [m for m in args.metrics if m != "lpips"]
+            if not args.metrics:
+                args.metrics = ["ssim", "msssim"]
+            elif "ssim" not in args.metrics:
+                args.metrics.insert(0, "ssim")
 
     folders = glob(os.path.join(args.results_root, f"*{args.vid_tag}"))
     assert len(folders) == 1, f"ambiguous tag {args.vid_tag}: {folders}"
@@ -139,7 +171,10 @@ def main(argv=None):
     real_files, fake_files = vid_files(args.real_folder), vid_files(args.fake_folder)
     assert len(real_files) == len(fake_files) and real_files, (root, len(real_files))
 
-    fns = {m: jax.jit(METRICS[m]) for m in args.metrics}
+    fns = {m: jax.jit(METRICS[m]) for m in args.metrics if m != "lpips"}
+    if "lpips" in args.metrics:
+        # our LPIPS takes [-1,1]; videos load in [0,1]
+        fns["lpips"] = jax.jit(lambda a, b: lpips_fn(a * 2 - 1, b * 2 - 1))
     per_t = {m: [[] for _ in range(args.vid_length)] for m in args.metrics}
     for rf, ff in zip(real_files, fake_files):
         real, fake = load_video(rf), load_video(ff)

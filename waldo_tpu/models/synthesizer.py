@@ -89,6 +89,17 @@ class Synthesizer:
             from ..eval.lpips import LPIPS
 
             self.lpips = LPIPS.maybe_load("vgg")
+            if self.lpips is None:
+                import sys
+
+                print(
+                    "WARNING: lpips_vid is in vid_inpainting_losses but no "
+                    f"converted LPIPS weights exist at {LPIPS.weights_path('vgg')};"
+                    " training will optimize L1 ONLY — a different objective "
+                    "than the reference train_wif.sh. Convert weights with "
+                    "waldo_tpu.eval.lpips.convert_lpips_weights.",
+                    file=sys.stderr, flush=True,
+                )
 
     # ------------------------------------------------------------------
     # initialization

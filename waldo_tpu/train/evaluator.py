@@ -96,7 +96,12 @@ class Evaluator:
                     os.makedirs(folder, exist_ok=True)
                     vids = out[name]
                     for b in range(vids.shape[0]):
-                        vid_id = i * vids.shape[0] + b
+                        # rank-aware global ids (reference synthesizer.py:
+                        # 184-193): hosts dump disjoint id ranges
+                        vid_id = (
+                            (i * jax.process_count() + jax.process_index())
+                            * vids.shape[0] + b
+                        )
                         save_video_frames(
                             vids[b], os.path.join(folder, f"vid_{vid_id:05d}.mp4"),
                             fps=4,
