@@ -101,3 +101,43 @@ def test_evaluator_predict_and_dump(tmp_path):
     assert np.isfinite(metrics["l1_pred"])
     dumped = os.listdir(os.path.join(cfg2.result_path, "pred_vid"))
     assert len(dumped) >= 1
+
+
+def test_nonstrict_restore_changed_head(tmp_path):
+    """Reference models/__init__.py:27-45 semantics: restoring into a model
+    with a changed head prunes the mismatched leaves and keeps everything
+    else; brand-new leaves keep their init; named-slot fallback to the
+    highest numbered checkpoint works."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from waldo_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path))
+    saved = {
+        "enc": {"kernel": np.ones((3, 3, 4, 8), np.float32),
+                "bias": np.zeros((8,), np.float32)},
+        "head": {"kernel": np.full((8, 5), 2.0, np.float32)},
+    }
+    ckpt.save("pe", saved, it=7)  # numbered slot only — no 'latest'
+
+    template = {
+        "enc": {"kernel": jnp.zeros((3, 3, 4, 8)),
+                "bias": jnp.ones((8,))},
+        "head": {"kernel": jnp.full((8, 9), -1.0)},   # changed head: 5 -> 9
+        "new_block": {"w": jnp.full((2,), 3.0)},       # absent from ckpt
+    }
+    out = ckpt.restore("pe", template, which="latest")  # glob-by-iter fallback
+    np.testing.assert_array_equal(np.asarray(out["enc"]["kernel"]), saved["enc"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(out["enc"]["bias"]), saved["enc"]["bias"])
+    # mismatched head pruned -> template kept
+    np.testing.assert_array_equal(np.asarray(out["head"]["kernel"]),
+                                  np.full((8, 9), -1.0, np.float32))
+    # new leaf keeps init
+    np.testing.assert_array_equal(np.asarray(out["new_block"]["w"]),
+                                  np.full((2,), 3.0, np.float32))
+    # strict restore of an exact-match template still round-trips
+    exact = jax.tree.map(jnp.zeros_like, saved)
+    out2 = ckpt.restore("pe", exact, which="7", strict=True)
+    np.testing.assert_array_equal(np.asarray(out2["head"]["kernel"]),
+                                  saved["head"]["kernel"])

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..ops import EdgeExtractor, gaussian_blur, get_grid, resize
 from ..utils import gather_time
+from ..utils.profiling import annotate
 from .lvd import LVDNet, bg_alpha_buffer, compute_occ
 from .flp import FLPNet
 from .wif import WIFNet
@@ -160,13 +161,16 @@ class Synthesizer:
         return jnp.concatenate(parts, axis=-1)
 
     def lvd_pass(self, pe_params, real_input, ctx_len, deterministic=True):
-        x = self.lvd.apply(pe_params, real_input, method="encode_input")
-        x_obj, x_bg, cls = self.lvd.apply(
-            pe_params, x[:, :ctx_len], method="estimate_layer", deterministic=deterministic
-        )
-        (obj_pose, bg_pose, occ_score, rest_o, rest_b, last_o, last_b) = self.lvd.apply(
-            pe_params, x, x_obj, x_bg, method="estimate_pose", deterministic=deterministic
-        )
+        with annotate("lvd/encode_input"):
+            x = self.lvd.apply(pe_params, real_input, method="encode_input")
+        with annotate("lvd/estimate_layer"):
+            x_obj, x_bg, cls = self.lvd.apply(
+                pe_params, x[:, :ctx_len], method="estimate_layer", deterministic=deterministic
+            )
+        with annotate("lvd/estimate_pose"):
+            (obj_pose, bg_pose, occ_score, rest_o, rest_b, last_o, last_b) = self.lvd.apply(
+                pe_params, x, x_obj, x_bg, method="estimate_pose", deterministic=deterministic
+            )
         return dict(
             x=x, x_obj=x_obj, x_bg=x_bg, cls=cls,
             obj_pose=obj_pose, bg_pose=bg_pose, occ_score=occ_score,
@@ -175,10 +179,12 @@ class Synthesizer:
 
     def alpha_grid_occ(self, pe_params, x_obj, obj_pose, bg_pose, occ_score):
         """reference lvd.py:126-135."""
-        obj_alpha = self.lvd.apply(pe_params, x_obj, method="decode_obj_alpha")
+        with annotate("lvd/decode_alpha"):
+            obj_alpha = self.lvd.apply(pe_params, x_obj, method="decode_obj_alpha")
         b = x_obj.shape[0]
         bg_alpha = jnp.broadcast_to(self.bg_alpha, (b,) + self.bg_alpha.shape[1:])
-        grids = self.warper(obj_pose, bg_pose[:, :, 0])
+        with annotate("warper/grids"):
+            grids = self.warper(obj_pose, bg_pose[:, :, 0])
         occ = compute_occ(occ_score)
         return occ, obj_alpha, bg_alpha, grids
 
@@ -202,11 +208,13 @@ class Synthesizer:
         m = self.cfg.model
         if restrict_to_ctx is None:
             restrict_to_ctx = m.restrict_to_ctx
-        flow, alpha_unflt, alpha, alpha_ctx, disocc = self.warper.grid_to_flow(
-            real_input, grids, occ, obj_alpha, bg_alpha, cls, ctx_ts, pred_ts,
-            restrict_to_ctx=restrict_to_ctx,
-        )
-        output, raw_output = self.warper.input_to_output(real_input, alpha_ctx, flow, ctx_ts)
+        with annotate("warper/grid_to_flow"):
+            flow, alpha_unflt, alpha, alpha_ctx, disocc = self.warper.grid_to_flow(
+                real_input, grids, occ, obj_alpha, bg_alpha, cls, ctx_ts, pred_ts,
+                restrict_to_ctx=restrict_to_ctx,
+            )
+        with annotate("warper/input_to_output"):
+            output, raw_output = self.warper.input_to_output(real_input, alpha_ctx, flow, ctx_ts)
         raw_alpha = output[..., -1:]
         if m.use_disocc:
             if m.include_self:

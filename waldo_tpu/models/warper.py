@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import TPSWarp, InverseWarp, get_grid, grid_sample, resize
 from ..utils import gather_time
+from ..utils.profiling import annotate
 
 
 class WarpGrids(NamedTuple):
@@ -88,14 +89,18 @@ class Warper:
             if self.fast_inverse_warp
             else (lambda g: self.invert_bg(g, erode=False))
         )
-        tgt_obj = self.tps_obj(obj_pose.reshape(b * t * no, lo, 2))
-        src_obj = inv_o(tgt_obj) if invert else None
+        with annotate("warper/tps_obj"):
+            tgt_obj = self.tps_obj(obj_pose.reshape(b * t * no, lo, 2))
+        with annotate("warper/invert_obj"):
+            src_obj = inv_o(tgt_obj) if invert else None
         tgt_obj = tgt_obj.reshape(b, t, no, *tgt_obj.shape[1:])
         src_obj = src_obj.reshape(b, t, no, *src_obj.shape[1:]) if invert else None
 
         l = self.latent_size
-        tgt_bg = self.tps_bg(bg_pose.reshape(b * t, l, 2))
-        src_bg = inv_b(tgt_bg) if invert else None
+        with annotate("warper/tps_bg"):
+            tgt_bg = self.tps_bg(bg_pose.reshape(b * t, l, 2))
+        with annotate("warper/invert_bg"):
+            src_bg = inv_b(tgt_bg) if invert else None
         tgt_bg = tgt_bg.reshape(b, t, *tgt_bg.shape[1:])
         src_bg = src_bg.reshape(b, t, *src_bg.shape[1:]) if invert else None
         return WarpGrids(tgt_obj, src_obj, tgt_bg, src_bg)
@@ -276,7 +281,8 @@ class Warper:
 
         # warp layer flows to output frame (lvd.py:669-673); unpack the ctx
         # channels back into an axis
-        flow = self.layer_to_output(obj_flow, bg_flow, pair_grids, delta_bg=0.0, delta_obj=0.0)
+        with annotate("warper/flow_warp"):
+            flow = self.layer_to_output(obj_flow, bg_flow, pair_grids, delta_bg=0.0, delta_obj=0.0)
         flow = flow.reshape(b, tp, no + 1, h, w, tc, 2)
         flow = jnp.moveaxis(flow, -2, 1)  # B Tc Tp No+1 H W 2
         if self.scale_hd != 1:
@@ -289,9 +295,10 @@ class Warper:
         alpha_ctx = gather_time(alpha, ctx_ts)  # B Tc Tp No+1 Hd Wd 1
         # alpha maps tolerate bf16 sampling error (~4e-3 on [0,1] masks);
         # this is the largest sample batch of the pipeline
-        alpha_ctx = grid_sample(
-            alpha_ctx.reshape(-1, hd, wd, 1), sample_grid, precision="fast"
-        ).reshape(b, tc, tp, no + 1, hd, wd, 1)
+        with annotate("warper/alpha_ctx_sample"):
+            alpha_ctx = grid_sample(
+                alpha_ctx.reshape(-1, hd, wd, 1), sample_grid, precision="fast"
+            ).reshape(b, tc, tp, no + 1, hd, wd, 1)
         alpha_ctx = alpha_ctx * is_obj
         disocc = alpha_ctx.max(axis=3)  # B Tc Tp Hd Wd 1
 
@@ -326,11 +333,12 @@ class Warper:
         ctx = gather_time(x, ctx_ts)  # B Tc Tp Hd Wd C
         # pixel/layout values tolerate bf16 sampling error (~4e-3); this is
         # the most expensive sample of the pipeline (C=3+Nl at load res)
-        out = grid_sample(
-            ctx.reshape(-1, hd, wd, c),
-            (self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)),
-            precision="fast",
-        )
+        with annotate("warper/context_fusion_sample"):
+            out = grid_sample(
+                ctx.reshape(-1, hd, wd, c),
+                (self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)),
+                precision="fast",
+            )
         out = out.reshape(b, tc, tp, hd, wd, c)
 
         score = ((alpha + 1) / 2).sum(axis=-1, keepdims=True)  # B Tc Tp Hd Wd 1

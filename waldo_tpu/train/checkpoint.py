@@ -39,13 +39,71 @@ class CheckpointManager:
             with open(path + ".iter", "w") as f:
                 f.write(str(it))
 
-    def restore(self, label: str, template: Any, which: str = "latest",
-                load_path: Optional[str] = None) -> Any:
-        root = os.path.abspath(load_path) if load_path else self.root
+    def _resolve(self, label: str, which: str, root: str) -> str:
         path = os.path.join(root, f"{label}_{which}")
-        if not os.path.exists(path):
-            raise FileNotFoundError(path)
-        return self._ckptr.restore(path, template)
+        if os.path.exists(path):
+            return path
+        # glob-by-iter fallback (reference models/__init__.py:94-102): a
+        # missing named slot resolves to the highest numbered one
+        its = [
+            int(m.group(1))
+            for f in os.listdir(root)
+            for m in [re.fullmatch(rf"{re.escape(label)}_(\d+)", f)]
+            if m
+        ] if os.path.isdir(root) else []
+        if which == "latest" and its:
+            return os.path.join(root, f"{label}_{max(its)}")
+        raise FileNotFoundError(path)
+
+    def restore(self, label: str, template: Any, which: str = "latest",
+                load_path: Optional[str] = None, strict: bool = False) -> Any:
+        """Restore one network's params into `template`.
+
+        strict=False (default) reproduces the reference's tolerant loader
+        (models/__init__.py:27-45): saved leaves whose shape mismatches the
+        template are PRUNED (template/init value kept, loudly reported), and
+        template leaves absent from the checkpoint keep their init — so
+        fine-tuning with a changed head works. strict=True is the orbax
+        exact restore."""
+        root = os.path.abspath(load_path) if load_path else self.root
+        path = self._resolve(label, which, root)
+        if strict:
+            return self._ckptr.restore(path, template)
+        try:
+            return self._ckptr.restore(path, template)
+        except Exception:
+            pass  # shape/key mismatch: merge leaf-by-leaf below
+        saved = ocp.PyTreeCheckpointer().restore(path)
+        s_flat = {
+            tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp): leaf
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(saved)[0]
+        }
+
+        pruned, missing = [], []
+
+        def merge(kp, t_leaf):
+            key = tuple(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+            if key not in s_flat:
+                missing.append(".".join(key))
+                return t_leaf
+            s_leaf = s_flat[key]
+            if tuple(getattr(s_leaf, "shape", ())) != tuple(getattr(t_leaf, "shape", ())):
+                pruned.append(
+                    f"{'.'.join(key)} {getattr(s_leaf, 'shape', ())} -> "
+                    f"{getattr(t_leaf, 'shape', ())}"
+                )
+                return t_leaf
+            return jax.numpy.asarray(s_leaf, getattr(t_leaf, "dtype", None))
+
+        out = jax.tree_util.tree_map_with_path(merge, template)
+        if pruned or missing:
+            print(
+                f"[ckpt] non-strict restore of {label} from {path}: "
+                f"pruned (shape mismatch): {pruned or 'none'}; "
+                f"missing (kept init): {missing or 'none'}",
+                flush=True,
+            )
+        return out
 
     def exists(self, label: str, which: str = "latest", load_path: Optional[str] = None):
         root = os.path.abspath(load_path) if load_path else self.root

@@ -29,8 +29,14 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+@contextlib.contextmanager
 def annotate(name: str):
-    return jax.profiler.TraceAnnotation(name)
+    """Name a pipeline region both host-side (TraceAnnotation, shows in
+    Perfetto timelines) and trace-side (named_scope, propagates into HLO op
+    metadata so per-stage cost shows up in compiled-profile breakdowns —
+    TraceAnnotation alone is invisible inside jit)."""
+    with jax.profiler.TraceAnnotation(name), jax.named_scope(name):
+        yield
 
 
 def memory_stats() -> Dict[str, Dict[str, float]]:
