@@ -233,3 +233,47 @@ def test_upfirdn2d_matches_torch_reference():
         theirs = torch_upfirdn2d_ref(torch.from_numpy(x), torch.from_numpy(np.asarray(f)), up, down, pad).numpy()
         assert ours.shape == theirs.shape, (up, down, pad, ours.shape, theirs.shape)
         assert np.allclose(ours, theirs, atol=1e-4), (up, down, pad, np.abs(ours - theirs).max())
+
+
+def test_pallas_grid_sample_matches_ref_multichannel():
+    """v2 Pallas sampler (channel grid axis + row-chunk culling) must match
+    the gather reference bit-closely, including zero padding outside, for
+    C=1 and C>1 (interpret mode: runs on CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from waldo_tpu.ops.grid_sample import grid_sample_ref
+    from waldo_tpu.ops.pallas.grid_sample import grid_sample_pallas
+
+    rng = np.random.RandomState(0)
+    for b, h, w, c, gh, gw in [(2, 64, 96, 1, 17, 9), (1, 128, 64, 5, 33, 41),
+                               (2, 64, 128, 3, 8, 16)]:
+        img = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        # grid spanning in-bounds and far out-of-bounds coords
+        grid = jnp.asarray((rng.rand(b, gh, gw, 2) * 3 - 1.5).astype(np.float32))
+        want = np.asarray(grid_sample_ref(img, grid))
+        got = np.asarray(grid_sample_pallas(img, grid, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4,
+                                   err_msg=str((b, h, w, c)))
+
+
+def test_pallas_bias_act_matches_jnp():
+    """set_impl('pallas') hook is real: kernel matches the jnp path for every
+    activation in the table (interpret mode: runs on CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from waldo_tpu.ops.bias_act import bias_act, _ACTS
+    from waldo_tpu.ops.pallas.bias_act import bias_act_pallas
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 7, 130).astype(np.float32) * 3)
+    b = jnp.asarray(rng.randn(130).astype(np.float32))
+    for act in _ACTS:
+        want = np.asarray(bias_act(x, b, act=act, gain=1.3, clamp=2.5))
+        got = np.asarray(bias_act_pallas(x, b, act=act, gain=1.3, clamp=2.5,
+                                         interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5, err_msg=act)
+    # no-bias + default gain path
+    want = np.asarray(bias_act(x, None, act="lrelu"))
+    got = np.asarray(bias_act_pallas(x, None, act="lrelu",
+                                     gain=float(_ACTS["lrelu"][1]), interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -42,7 +42,8 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float32")
     if impl == "pallas":
         # fused Pallas forward with MXU-matmul backward (custom VJP); falls
         # back to the plain paths outside its specialization envelope
-        if img.shape[-1] == 1 and src <= (1 << 18):
+        # (v2 kernel: any channel count, up to 512x1024 f32 source planes)
+        if src <= (1 << 19) and img.shape[-3] % 64 == 0 and img.shape[-2] <= 2048:
             return _pallas_with_mxu_grad(img, grid, precision)
         impl = "auto"
     if impl == "auto":
