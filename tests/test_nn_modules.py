@@ -126,3 +126,25 @@ def test_config_roundtrip_and_cli():
     save_config(cfg, path)
     cfg2 = load_config(path)
     assert to_dict(cfg2) == to_dict(cfg)
+
+
+def test_multiblocks_threads_block_causal():
+    """block_causal is reachable through the standard MultiBlocks stack
+    (round-1 gap: causal_mask_sizes was dropped on the way to Block)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from waldo_tpu.nn.transform import MultiBlocks
+
+    sizes = (4, 6)
+    mb = MultiBlocks(depth=2, dim=32, num_heads=4, block_type="block_causal",
+                     causal_mask_sizes=sizes)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 32).astype(np.float32))
+    params = mb.init(jax.random.PRNGKey(0), x)
+    out = mb.apply(params, x)
+    assert out.shape == x.shape
+    # causality: perturbing the last block must not change the first block
+    x2 = x.at[:, sizes[0]:].add(1.0)
+    out2 = mb.apply(params, x2)
+    np.testing.assert_allclose(np.asarray(out2[:, : sizes[0]]),
+                               np.asarray(out[:, : sizes[0]]), atol=1e-5)

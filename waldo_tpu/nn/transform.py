@@ -354,6 +354,7 @@ class MultiBlocks(nn.Module):
     norm_layer: str = "ln"
     noise: bool = False
     dropout: float = 0.0
+    causal_mask_sizes: tuple = ()  # threaded to Block for block_causal stacks
 
     @nn.compact
     def __call__(self, x, **kwargs):
@@ -365,5 +366,6 @@ class MultiBlocks(nn.Module):
                 norm_layer=self.norm_layer,
                 noise=self.noise,
                 dropout=self.dropout,
+                causal_mask_sizes=self.causal_mask_sizes,
             )(x, **kwargs)
         return x
