@@ -39,3 +39,38 @@ def fid(feature_fn, real_batches, fake_batches):
     acts_r = np.concatenate([np.asarray(feature_fn(b)) for b in real_batches])
     acts_f = np.concatenate([np.asarray(feature_fn(b)) for b in fake_batches])
     return frechet_distance_from_acts(acts_r, acts_f)
+
+
+def _frame_acts(extractor, vids, batch=16):
+    """vids: list of (T,H,W,3) in [0,1] -> stacked frame activations (N,D)."""
+    frames = np.concatenate([np.asarray(v) for v in vids])
+    acts = []
+    for i in range(0, len(frames), batch):
+        acts.append(np.asarray(extractor(frames[i: i + batch])))
+    return np.concatenate(acts)
+
+
+def fid_videos(extractor, real_vids, fake_vids, batch=16):
+    """FID over all frames of two video sets (reference tools/utils.py:131-190
+    protocol: pool3 Inception activations; see eval/inception.py)."""
+    return frechet_distance_from_acts(
+        _frame_acts(extractor, real_vids, batch),
+        _frame_acts(extractor, fake_vids, batch),
+    )
+
+
+def fvd_proxy(extractor, real_vids, fake_vids, batch=16):
+    """Frechet distance over per-video temporal feature statistics.
+
+    True FVD uses I3D spatiotemporal features (no weights reachable here);
+    this proxy uses [mean_t, std_t] of per-frame Inception features per
+    video — distributional and motion-sensitive, but NOT comparable to
+    published FVD numbers. Callers must label it 'fvd_proxy'."""
+    def per_video(vids):
+        feats = []
+        for v in vids:
+            a = _frame_acts(extractor, [v], batch)
+            feats.append(np.concatenate([a.mean(0), a.std(0)]))
+        return np.stack(feats)
+
+    return frechet_distance_from_acts(per_video(real_vids), per_video(fake_vids))

@@ -171,6 +171,37 @@ def main(argv=None):
     real_files, fake_files = vid_files(args.real_folder), vid_files(args.fake_folder)
     assert len(real_files) == len(fake_files) and real_files, (root, len(real_files))
 
+    # distributional metrics (whole-set, not per-timestep)
+    dist_metrics = [m for m in args.metrics if m in ("fid", "fvd")]
+    args.metrics = [m for m in args.metrics if m not in ("fid", "fvd")]
+    dist_results = {}
+    if dist_metrics:
+        from .frechet import fid_videos, fvd_proxy
+        from .inception import InceptionExtractor, random_extractor
+
+        ex = InceptionExtractor.maybe_load()
+        if ex is None:
+            import sys
+
+            print(
+                "WARNING: no converted Inception weights at "
+                f"{InceptionExtractor.weights_path()} — using a seeded "
+                "random-init extractor. Distances are RELATIVE-ONLY and "
+                "reported as rfid/rfvd_proxy, not FID/FVD. Convert with "
+                "waldo_tpu.eval.inception.convert_inception_weights.",
+                file=sys.stderr, flush=True,
+            )
+            ex = random_extractor()
+        real_vids = [load_video(p) for p in real_files]
+        fake_vids = [load_video(p) for p in fake_files]
+        prefix = "" if ex.name == "fid" else "r"
+        if "fid" in dist_metrics:
+            dist_results[f"{prefix}fid"] = fid_videos(ex, real_vids, fake_vids)
+        if "fvd" in dist_metrics:
+            dist_results[f"{prefix}fvd_proxy"] = fvd_proxy(ex, real_vids, fake_vids)
+        for k, v in dist_results.items():
+            print(f"[{k}] : {v:.4f}")
+
     fns = {m: jax.jit(METRICS[m]) for m in args.metrics if m != "lpips"}
     if "lpips" in args.metrics:
         # our LPIPS takes [-1,1]; videos load in [0,1]
@@ -185,7 +216,7 @@ def main(argv=None):
             for m in args.metrics:
                 per_t[m][t].append(float(fns[m](bb, a)[0]))
 
-    results = {}
+    results = dict(dist_results)
     for m in args.metrics:
         for t in range(args.vid_length):
             vals = per_t[m][t]
