@@ -131,6 +131,10 @@ class ModelConfig:
     # opt-in iterative (gather-based) warp-grid inversion: faster on TPU,
     # documented deviation from the reference's scatter+dilate inversion
     fast_inverse_warp: bool = False
+    # precision of the big alpha/fusion grid samples: "fast" (bf16 MXU
+    # passes, ~4e-3 on [0,1] maps — the bench default) or "float32"
+    # (exact; used as the golden in scripts/precision_audit.py)
+    sample_precision: str = "fast"
     use_lyt_filtering: bool = True
     use_lyt_opacity: bool = True
     swap_flt: bool = True

@@ -76,6 +76,7 @@ class Warper:
         self.no_filter = m.no_filter
         self.allow_ghost = m.allow_ghost
         self.fast_inverse_warp = m.fast_inverse_warp
+        self.sample_precision = m.sample_precision
 
     # ---- grid construction (reference lvd.py:855-870) ----
 
@@ -297,7 +298,8 @@ class Warper:
         # this is the largest sample batch of the pipeline
         with annotate("warper/alpha_ctx_sample"):
             alpha_ctx = grid_sample(
-                alpha_ctx.reshape(-1, hd, wd, 1), sample_grid, precision="fast"
+                alpha_ctx.reshape(-1, hd, wd, 1), sample_grid,
+                precision=self.sample_precision
             ).reshape(b, tc, tp, no + 1, hd, wd, 1)
         alpha_ctx = alpha_ctx * is_obj
         disocc = alpha_ctx.max(axis=3)  # B Tc Tp Hd Wd 1
@@ -337,7 +339,7 @@ class Warper:
             out = grid_sample(
                 ctx.reshape(-1, hd, wd, c),
                 (self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)),
-                precision="fast",
+                precision=self.sample_precision,
             )
         out = out.reshape(b, tc, tp, hd, wd, c)
 
