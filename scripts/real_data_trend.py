@@ -1,0 +1,214 @@
+"""Real-data quality-trend evidence on the reference's in-repo demo clip.
+
+The only real Cityscapes data available offline is the demo Munster sequence
+(reference datasets/demo_cityscapes: 29 frames x {RGB 512, deeplabv3 layout
+512, RAFT flow 128}). This script builds a train/val split out of it
+(pseudo-sequence symlinks), trains all three stages (LVD -> FLP -> WIF) at a
+reduced-width flagship geometry, then scores the FULL vid_prediction
+pipeline at each checkpoint on *predicted* frames only (protocol of
+reference tools/eval/metrics.py:109-113).
+
+Overfitting one clip is the point: it demonstrates the training path moves
+real-data prediction quality, which synthetic-only evidence cannot.
+
+  python scripts/real_data_trend.py [--iters 600] [--root /tmp/waldo_real_trend]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/waldo_jax"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEMO = "/root/reference/datasets/demo_cityscapes"
+MODALITIES = (
+    "leftImg8bit_sequence_512",
+    "leftImg8bit_sequence_deeplabv3_512",
+    "leftImg8bit_sequence_raft_128",
+)
+
+
+def prepare_root(dataroot: str, n_train: int = 8) -> None:
+    """Symlink farm: N pseudo-sequences for train, the original for val.
+
+    Sequence identity is the first two '_'-separated basename tokens
+    (data/cityscapes.py:29), so renaming 'munster_000037_...' to
+    'demoK_000037_...' yields distinct contiguous sequences over the same
+    frames; random clip offsets at vid_len 14 give the loader variety."""
+    import glob
+
+    for mod in MODALITIES:
+        src_dir = os.path.join(DEMO, mod, "val", "munster")
+        files = sorted(glob.glob(os.path.join(src_dir, "*")))
+        assert files, src_dir
+        val_dst = os.path.join(dataroot, mod, "val")
+        os.makedirs(val_dst, exist_ok=True)
+        link = os.path.join(val_dst, "munster")
+        if not os.path.islink(link):
+            os.symlink(src_dir, link)
+        for k in range(n_train):
+            tr = os.path.join(dataroot, mod, "train", f"seq{k}")
+            os.makedirs(tr, exist_ok=True)
+            for f in files:
+                base = os.path.basename(f).replace("munster", f"demo{k}")
+                dst = os.path.join(tr, base)
+                if not os.path.islink(dst):
+                    os.symlink(f, dst)
+
+
+def common_flags(dataroot, save_path, iters, save_freq):
+    """Reference scripts/cityscapes/train_*.sh flags at reduced width
+    (embed 256) so the 3-stage run fits in a background TPU session."""
+    return [
+        "--dataset", "cityscapes", "--dataroot", dataroot,
+        "--dim", "128", "--true_dim", "512", "--flow_dim", "128",
+        "--data.vid_len", "14", "--data.num_workers", "4",
+        "--save_path", save_path,
+        "--s_patch_size", "16", "--s_latent_shape", "8,16",
+        "--s_embed_dim", "256", "--s_num_obj", "16",
+        "--s_oe_depth", "2", "--s_pe_depth", "2",
+        "--s_bound_rest", "true", "--s_soft_bound_rest", "true",
+        "--s_pe_decoder_init_mode", "five", "--s_has_bg", "true",
+        "--s_pad_obj_alpha", "3", "--s_pad_bg_alpha", "3",
+        "--s_init_scale_obj", "0.25", "--s_mul_scale_obj", "0.25",
+        "--s_mul_delta_obj", "0.2",
+        "--s_circle_translate_bias", "true", "--s_circle_translate_radius", "0.2",
+        "--data.skip_first", "true", "--s_ctx_len", "4",
+        "--data.load_lyt", "true", "--data.load_flow", "true",
+        "--s_input_lyt", "true", "--s_input_flow", "true", "--s_input_rgb", "false",
+        "--data.remap_lyt", "13 19 18 19 7 6 8 6",
+        "--s_pred_cls", "true", "--s_weight_cls", "true", "--s_min_cls", "0.1",
+        "--s_ctx_mode", "prev", "--s_bg_mul", "1.2",
+        "--s_edge_size", "15", "--s_flow_thresh", "0.02",
+        "--s_oe_num_timesteps", "5", "--s_pg_num_timesteps", "14",
+        "--num_iter", str(iters), "--num_iter_eval", "0",
+        "--save_latest_freq", str(save_freq), "--save_freq", str(save_freq),
+        "--log_freq", "50",
+        # the demo clip is one sequence: keep augmentation mild
+        "--data.max_zoom", "1.1", "--data.colorjitter", "0",
+    ]
+
+
+def latest_tag(save_path, prefix):
+    ckpts = sorted(
+        d for d in os.listdir(os.path.join(save_path, "checkpoints")) if prefix in d
+    )
+    assert ckpts, (save_path, prefix)
+    return ckpts[-1]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--root", type=str, default="/tmp/waldo_real_trend")
+    ap.add_argument("--skip_train", action="store_true")
+    args = ap.parse_args(argv)
+    dataroot = os.path.join(args.root, "data")
+    save_path = os.path.join(args.root, "run")
+    prepare_root(dataroot)
+    iters = args.iters
+    save_freq = max(iters // 4, 1)
+    common = common_flags(dataroot, save_path, iters, save_freq)
+
+    from waldo_tpu.cli import train as train_cli
+    from waldo_tpu.cli import test as test_cli
+    from waldo_tpu.eval import metrics as metrics_cli
+
+    if not args.skip_train:
+        print("=== stage 1: LVD (real demo clip) ===", flush=True)
+        train_cli.main(["--name", "real_lvd", *common,
+                        "--vid_modes", "vid_object_extractor",
+                        "--s_vid_object_extractor_losses",
+                        "ent_flt_edge l1_flow cell_dis reg_mov",
+                        "--s_blur_pxl", "true", "--s_blur_sigma", "2.0",
+                        "--s_lambda_pts_rest", "20", "--s_l1_pxl", "true",
+                        "--s_lambda_cell_dis", "10", "--s_lambda_l1_flow", "1000",
+                        "--s_lambda_reg_mov", "10", "--s_use_lyt_filtering", "true",
+                        "--s_use_fg", "true", "--s_use_lyt_opacity", "true",
+                        "--s_swap_flt", "true", "--s_mov_obj_thresh", "0.005",
+                        "--s_use_dominant_flow_other", "true",
+                        "--s_include_self", "true", "--s_reg_bg_mul", "0.25",
+                        "--batch_size_vid", "4"])
+        lvd = latest_tag(save_path, "real_lvd")
+        print(f"=== stage 2: FLP (frozen {lvd}) ===", flush=True)
+        train_cli.main(["--name", "real_flp", *common,
+                        "--vid_modes", "vid_pose_generator",
+                        "--s_use_pg", "true",
+                        "--s_vid_pose_generator_losses",
+                        "rec_obj_pose rec_bg_pose rec_occ_score",
+                        "--s_pe_estimator_init_mode", "zero",
+                        "--s_min_ctx_length_vid", "4", "--s_max_ctx_length_vid", "4",
+                        "--s_unconstrained_pose_decoder", "true",
+                        "--s_lambda_rec_occ_score", "0.01",
+                        "--s_use_last_pose_decoder", "true",
+                        "--s_bg_mul_pose_decoder", "1.2",
+                        "--s_which_iter", "latest",
+                        "--s_load_path", f"{save_path}/checkpoints/{lvd}",
+                        "--batch_size_vid", "4"])
+        print("=== stage 3: WIF ===", flush=True)
+        train_cli.main(["--name", "real_wif", *common,
+                        "--vid_modes", "vid_inpainting",
+                        "--s_use_ii", "true", "--s_ii_depth", "6",
+                        "--s_ii_score", "true", "--s_ii_ab", "true",
+                        "--s_vid_inpainting_losses", "sharp_vid",
+                        "--s_which_iter", "latest",
+                        "--s_load_path", f"{save_path}/checkpoints/{lvd}",
+                        "--batch_size_vid", "4"])
+    lvd = latest_tag(save_path, "real_lvd")
+    flp = latest_tag(save_path, "real_flp")
+    wif = latest_tag(save_path, "real_wif")
+
+    steps = [str(s) for s in range(0, iters, save_freq)] + ["latest"]
+    curve = {}
+    for s in steps:
+        name = f"real_eval_{s}"
+        print(f"=== eval checkpoint {s} ===", flush=True)
+        test_cli.main(["--name", name, *common,
+                       "--vid_modes", "vid_prediction",
+                       "--s_use_pg", "true", "--s_use_ii", "true",
+                       "--s_ii_depth", "6", "--s_ii_score", "true",
+                       "--s_ii_ab", "true",
+                       "--s_pe_estimator_init_mode", "zero",
+                       "--s_unconstrained_pose_decoder", "true",
+                       "--s_use_last_pose_decoder", "true",
+                       "--s_bg_mul_pose_decoder", "1.2",
+                       "--s_restrict_to_ctx", "true",
+                       "--data.eval_phase", "test", "--batch_size_vid", "1",
+                       "--max_batch_eval_vid", "4",
+                       "--s_load_path", f"{save_path}/checkpoints/{lvd}",
+                       "--s_which_iter", s,
+                       "--s_pg_load_path", f"{save_path}/checkpoints/{flp}",
+                       "--s_pg_iter", s,
+                       "--s_ii_load_path", f"{save_path}/checkpoints/{wif}",
+                       "--s_ii_iter", s])
+        entry = {}
+        for folder in ("pred_vid", "inp_pred_vid"):
+            res = metrics_cli.main([name, "14", "4",
+                                    "--results_root", f"{save_path}/results",
+                                    "--metrics", "ssim", "psnr", "msssim",
+                                    "--fake_folder", folder])
+            entry[folder] = res
+        curve[s] = entry
+        print(f"[real trend] step {s}: {json.dumps(entry)}", flush=True)
+
+    out_path = os.path.join(args.root, "real_data_trend.json")
+    with open(out_path, "w") as f:
+        json.dump({"iters": iters, "save_freq": save_freq, "curve": curve}, f,
+                  indent=2)
+    print("\n=== real-data trend (cum past ctx, predicted frames only) ===")
+    print(f"{'step':>8} | {'ssim':>7} {'psnr':>7} {'msssim':>7} (inp_pred_vid)")
+    for s in steps:
+        e = curve[s]["inp_pred_vid"]
+        print(f"{s:>8} | {e.get('cum_ssim', float('nan')):7.4f} "
+              f"{e.get('cum_psnr', float('nan')):7.2f} "
+              f"{e.get('cum_msssim', float('nan')):7.4f}")
+    print(f"written: {out_path}")
+    return curve
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Microbenchmark the grid_sample impls at the pipeline's hot shapes.
+
+The flagship predict's sampling cost concentrates in three call sites
+(waldo_tpu/models/warper.py): the flow warp (obj 64x64 textures, Tc*2
+channels), the alpha_ctx sample (C=1, load-res sources), and the
+context-fusion sample (C=3+Nl, load-res sources). This times mxu / gather /
+pallas on the real chip at those exact shapes so dispatch defaults are
+data-driven rather than asserted.
+
+  python scripts/sampler_bench.py [--load_dim 256] [--iters 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/waldo_jax"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def time_impl(impl, img, grid, precision, iters):
+    import jax
+
+    from waldo_tpu.ops import grid_sample as gs
+
+    gs.set_impl(impl)
+    try:
+        fn = jax.jit(lambda i, g: gs.grid_sample(i, g, precision=precision))
+        out = fn(img, grid)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(img, grid)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / iters * 1e3
+    except Exception as e:  # outside an impl's envelope
+        return f"error: {type(e).__name__}: {e}"
+    finally:
+        gs.set_impl("auto")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--load_dim", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--out", type=str, default="/tmp/sampler_bench.json")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    hd, wd = args.load_dim, args.load_dim * 2
+    b, tc, tp, no, nl = 1, 4, 10, 16, 20
+    rng = np.random.RandomState(0)
+
+    def mk(bb, h, w, c):
+        img = jnp.asarray(rng.rand(bb, h, w, c).astype(np.float32))
+        grid = jnp.asarray(rng.rand(bb, h, w, 2).astype(np.float32) * 2 - 1)
+        return img, grid
+
+    cases = {
+        # flow warp: obj textures sampled to output res, ctx folded in channels
+        "flow_warp_obj(64x64 src, Tc*2ch)": mk(b * tp * no, 64, 64, tc * 2)
+        + ("float32",),
+        # alpha_ctx: per-layer alphas at load res, C=1
+        f"alpha_ctx({hd}x{wd} src, C=1)": mk(b * tc * tp * (no + 1) // 8, hd, wd, 1)
+        + ("fast",),
+        # context fusion: rgb+layout at load res
+        f"ctx_fusion({hd}x{wd} src, C={3+nl})": mk(b * tc * tp, hd, wd, 3 + nl)
+        + ("fast",),
+    }
+    # alpha_ctx true batch is b*tc*tp*(no+1)=680; divided by 8 above to keep
+    # the bench quick — per-image cost is what matters for impl choice.
+
+    report = {}
+    for name, (img, grid, precision) in cases.items():
+        row = {}
+        for impl in ("mxu", "gather", "pallas"):
+            ms = time_impl(impl, img, grid, precision, args.iters)
+            row[impl] = round(ms, 2) if isinstance(ms, float) else ms
+        report[name] = {"batch": img.shape[0], **row}
+        print(f"{name}: {json.dumps(row)}", flush=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"written: {args.out}")
+
+
+if __name__ == "__main__":
+    main()

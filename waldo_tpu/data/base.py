@@ -31,7 +31,7 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp")
 def make_dataset(directory: str, recursive: bool = True) -> List[str]:
     """Recursive image-file scan (reference data/folder_dataset.py:34-62)."""
     paths = []
-    for root, _dirs, files in sorted(os.walk(directory)):
+    for root, _dirs, files in sorted(os.walk(directory, followlinks=True)):
         for f in sorted(files):
             if f.lower().endswith(IMG_EXTENSIONS):
                 paths.append(os.path.join(root, f))

@@ -64,6 +64,8 @@ class Evaluator:
 
     def run(self, dump: bool = True, max_batches: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
+        if max_batches is None:
+            max_batches = cfg.max_batch_eval_vid
         ds = create_dataset(cfg, phase=cfg.data.eval_phase)
         loader = DataLoader(ds, cfg.batch_size_vid, shuffle=False,
                             num_workers=cfg.data.num_workers)
