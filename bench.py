@@ -43,21 +43,41 @@ def main():
         cfg.data.dataset = "kitti"
         cfg.model.pg_num_timesteps = vid_len
     cfg.compute_dtype = os.environ.get("WALDO_BENCH_DTYPE", "bfloat16")
-    if os.environ.get("WALDO_BENCH_FAST_INVERSE", "0") == "1":
+    # iterative (fixed-point) grid inversion is the default bench numerics:
+    # the precision audit (scripts/precision_audit.py, ROUND2.md) bounds its
+    # cost at PSNR 43.4 dB / SSIM 0.9988 vs the golden f32 scatter pipeline
+    if os.environ.get("WALDO_BENCH_FAST_INVERSE", "1") == "1":
         cfg.model.fast_inverse_warp = True
     syn = Synthesizer(cfg)
     params = syn.init_params(jax.random.PRNGKey(0))
     data = _batch_for(cfg, b=batch)
 
-    fn = jax.jit(lambda p, b: syn.predict(p, b)["pred_vid"])
-    out = fn(params, data)
-    out.block_until_ready()  # compile
+    import jax.numpy as jnp
+
+    # All timed iterations run inside ONE jit call (lax.scan) and the result
+    # is fetched as a scalar: under the axon TPU tunnel block_until_ready()
+    # does not synchronize and per-dispatch wire overhead is tens of ms, so
+    # a dispatch-loop would time the tunnel, not the chip. The input is
+    # perturbed per step to defeat loop-invariant hoisting.
+    def rollout(p, b):
+        def body(acc, k):
+            bb = dict(b)
+            bb["vid"] = b["vid"] + k * 1e-6
+            out = syn.predict(p, bb)["pred_vid"]
+            return acc + out.mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(iters, dtype=jnp.float32))
+        return acc
+
+    fn = jax.jit(rollout)
+    v = float(fn(params, data))  # compile + warm run
+    assert np.isfinite(v), v
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, data)
-    out.block_until_ready()
+    v = float(fn(params, data))
     dt = time.perf_counter() - t0
+    assert np.isfinite(v), v
 
     pred_frames = batch * (vid_len - cfg.model.ctx_len) * iters
     fps = pred_frames / dt

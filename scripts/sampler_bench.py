@@ -25,19 +25,34 @@ import numpy as np
 
 
 def time_impl(impl, img, grid, precision, iters):
+    """Time `iters` applications inside ONE jit call (fori_loop) and fetch a
+    scalar: under the axon TPU tunnel block_until_ready() does not
+    synchronize and per-dispatch overhead is tens of ms, so naive
+    dispatch-loop timing measures the wire, not the kernel. The grid is
+    perturbed per iteration to defeat loop-invariant hoisting."""
     import jax
+    import jax.numpy as jnp
 
-    from waldo_tpu.ops import grid_sample as gs
+    # the ops package re-exports the function under the same name, shadowing
+    # the submodule attribute — fetch the module itself
+    import waldo_tpu.ops.grid_sample  # noqa: F401
+    gs = sys.modules["waldo_tpu.ops.grid_sample"]
 
     gs.set_impl(impl)
     try:
-        fn = jax.jit(lambda i, g: gs.grid_sample(i, g, precision=precision))
-        out = fn(img, grid)
-        out.block_until_ready()
+        def loop(i0, g0):
+            def body(k, acc):
+                g = g0 + (k.astype(g0.dtype) * 1e-6)
+                out = gs.grid_sample(i0, g, precision=precision)
+                return acc + out.mean()
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        fn = jax.jit(loop)
+        float(fn(img, grid))  # compile + run once
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(img, grid)
-        out.block_until_ready()
+        v = float(fn(img, grid))
+        assert v == v, v
         return (time.perf_counter() - t0) / iters * 1e3
     except Exception as e:  # outside an impl's envelope
         return f"error: {type(e).__name__}: {e}"
@@ -59,9 +74,21 @@ def main(argv=None):
     b, tc, tp, no, nl = 1, 4, 10, 16, 20
     rng = np.random.RandomState(0)
 
-    def mk(bb, h, w, c):
+    def mk(bb, h, w, c, smooth=True):
+        """smooth=True builds pipeline-realistic grids (identity + small
+        smooth flow, like the TPS/flow warps); False is the random worst
+        case where block culling cannot help."""
         img = jnp.asarray(rng.rand(bb, h, w, c).astype(np.float32))
-        grid = jnp.asarray(rng.rand(bb, h, w, 2).astype(np.float32) * 2 - 1)
+        if smooth:
+            yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                                 indexing="ij")
+            base = np.stack([xx, yy], -1)[None]
+            phase = rng.rand(bb, 1, 1, 2) * 6.28
+            flow = 0.05 * np.sin(3 * base[..., :1] * 3.14 + phase) \
+                 + 0.03 * np.cos(2 * base[..., 1:] * 3.14 + phase)
+            grid = jnp.asarray((base + flow).astype(np.float32))
+        else:
+            grid = jnp.asarray(rng.rand(bb, h, w, 2).astype(np.float32) * 2 - 1)
         return img, grid
 
     cases = {

@@ -1,24 +1,39 @@
 """Pallas TPU kernel: fused bilinear sampling via hat-function matmuls.
 
-Same math as ops.grid_sample.grid_sample_mxu, but the hat matrices and the
-intermediate M = Ry @ tex live entirely in VMEM — XLA's version materializes
-them through HBM, which costs more bandwidth than the matmul costs FLOPs at
-small tile sizes.
+Same math as ops.grid_sample.grid_sample_mxu (out[p,c] = sum_yx
+hat(iy_p,y) hat(ix_p,x) tex[y,x,c]) with the work restricted to the source
+rectangle a tile of output pixels actually samples from.
 
-v2 (round 2) upgrades over the round-1 kernel:
-- multi-channel sources: channels ride a grid axis in channel-first layout,
-  so each program works on one (H, W) plane (the source plane stays resident
-  in VMEM across all output tiles of that channel);
-- no 8x source broadcast: the hat contraction is one (TILE_P, H) @ (H, W)
-  matmul instead of a batched dot against a broadcast source;
-- source-row chunk culling: the y-hat matrix has 2 non-zeros per row, so a
-  tile of output pixels only touches the source rows its iy values span.
-  The kernel walks H in chunks of 64 rows and skips the matmul for chunks
-  no output pixel samples from (lax.cond) — for the pipeline's smooth TPS
-  warps this cuts 4-8x of the FLOPs at HD sizes.
+v6 (round 2, shaped by on-chip measurement) — bounding-box blocks:
+- output pixels are re-tiled host-side into (16, 256) output PATCHES, so a
+  kernel tile's source footprint is a small rectangle for the pipeline's
+  smooth TPS/flow warps, and per-tile fixed costs amortize over 4096 pixels;
+- the kernel computes the tile's source bounding box from min/max of the
+  sample coordinates and runs ONE (TILE_P, HB) @ (HB, WB) MXU dot against a
+  dynamically-positioned (HB=128, WB=384) source block, DMA'd from HBM into
+  a VMEM scratch — no (TILE_P, W) buffer ever exists, so VMEM stays small
+  at any source size;
+- tiles whose footprint exceeds the static block (fast motion, strong TPS
+  zoom) fall back via lax.cond to a generic block-culled loop over the whole
+  plane — correctness never depends on the bbox fitting. Conservative
+  activation is CORRECT, not just safe: a pixel whose iy lies outside a
+  chunk has an all-zero ry row there;
+- coordinates and outputs travel as (16, 256) spatial tiles (Pallas block
+  rules require (8k, 128k) minor block dims); the kernel flattens a tile to
+  a (TILE_P, 1) column with pltpu.repeat + an iota mask — pure VPU ops —
+  replacing v4's ~16us/program MXU conversion dots (K=16 padded to 128,
+  6-pass f32) that dominated its runtime.
 
-Envelope: one (H, W) f32 plane + (TILE_P, W) hat/accumulator buffers must
-fit VMEM — h*w <= 2^19 and w <= 2048 covers 512x1024 HD sources.
+Mosaic hardware constraints (discovered on-chip; interpret mode hides them):
+- tpu.iota only yields integer vectors — iota int32, then cast to f32;
+- shape casts like (16,256)<->(4096,1) are unsupported inside kernels
+  (repeat+mask / masked-dot conversions avoid them);
+- direct VMEM vector loads cannot take data-dependent offsets; block
+  fetches go through make_async_copy (DMAs accept them), with
+  pl.multiple_of hints so Mosaic can prove tile alignment;
+- dynamic block starts are aligned to sublane (8) / lane (128) multiples.
+
+Channels ride a grid axis (one (H, W) source plane per program).
 """
 from __future__ import annotations
 
@@ -29,42 +44,143 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 8
-COLS = 128
+ROWS = 16
+COLS = 256
 TILE_P = ROWS * COLS
-HCHUNK = 64
+HB = 128    # bbox block height (rows); sublane-aligned starts
+WB = 384    # bbox block width (cols); lane-aligned starts
+WCHUNK = 256  # fallback loop block width
 
 
-def _kernel(tex_ref, ix_ref, iy_ref, out_ref, *, h, w, precision):
-    iy = iy_ref[0, 0].reshape(TILE_P)
-    ix = ix_ref[0, 0].reshape(TILE_P)
-    idx_w = jax.lax.broadcasted_iota(jnp.float32, (TILE_P, w), 1)
-    rx = jnp.maximum(1.0 - jnp.abs(ix[:, None] - idx_w), 0.0)  # (P, W)
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
-    n_chunks = h // HCHUNK if h % HCHUNK == 0 else h // HCHUNK + 1
 
-    def body(k, m):
-        y0 = k * HCHUNK
-        hc = HCHUNK  # static chunk height; tail rows handled by hat decay
-        idx_h = jax.lax.broadcasted_iota(jnp.float32, (TILE_P, hc), 1) + y0
-        ry = jnp.maximum(1.0 - jnp.abs(iy[:, None] - idx_h), 0.0)  # (P, hc)
-        active = jnp.any((iy > y0 - 1.0) & (iy < y0 + hc))
+def _col_from_tile(tile):
+    """(ROWS, COLS) tile -> (TILE_P, 1) column with p = c*ROWS + r.
 
-        def do(m):
-            tex_c = tex_ref[0, 0, pl.ds(y0, hc), :]  # (hc, W)
-            return m + jax.lax.dot_general(
-                ry, tex_c,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+    pltpu.repeat (tile-style concat) gives M[p, c'] = tile[p % ROWS, c'];
+    masking with E[p, c'] = [p // ROWS == c'] selects c' = p // ROWS. Pure
+    VPU ops — exact, and far cheaper than a K=16 MXU dot."""
+    m = pltpu.repeat(tile, TILE_P // ROWS, 0)  # (TILE_P, COLS)
+    e = (_iota((TILE_P, COLS), 0) // ROWS == _iota((TILE_P, COLS), 1))
+    return jnp.sum(m * e.astype(jnp.float32), axis=1, keepdims=True)
 
-        return jax.lax.cond(active, do, lambda m: m, m)
 
-    m = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((TILE_P, w), jnp.float32)
+def _tile_from_col(col):
+    """(TILE_P, 1) column -> (ROWS, COLS) tile (inverse of _col_from_tile):
+    out[r, c'] = col[c'*ROWS + r] via St[r, p] = [p % ROWS == r] applied to
+    the E-masked column. The dot pins f32 precision (values must not round
+    to bf16); K=TILE_P so the MXU is fully utilized."""
+    st = (_iota((ROWS, TILE_P), 1) % ROWS == _iota((ROWS, TILE_P), 0))
+    e = (_iota((TILE_P, COLS), 0) // ROWS == _iota((TILE_P, COLS), 1))
+    return jax.lax.dot_general(
+        st.astype(jnp.float32), col * e.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision="float32",
     )
-    out_ref[0, 0, 0] = (m * rx).sum(axis=1).reshape(ROWS, COLS)
+
+
+def _block_contrib(tex_b, ix, iy, x0, y0, wc, hc, precision):
+    """Contribution of source block tex_b (hc, wc) at (y0, x0) to the tile:
+    ((ry @ tex_b) * rx).sum(lanes) -> (TILE_P, 1)."""
+    idx_h = _iota((TILE_P, hc), 1).astype(jnp.float32) + y0
+    ry = jnp.maximum(1.0 - jnp.abs(iy - idx_h), 0.0)
+    idx_w = _iota((TILE_P, wc), 1).astype(jnp.float32) + x0
+    rx = jnp.maximum(1.0 - jnp.abs(ix - idx_w), 0.0)
+    m = jax.lax.dot_general(
+        ry, tex_b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return (m * rx).sum(axis=1, keepdims=True)
+
+
+def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, scratch, sem, *,
+            h, w, hb, wb, hc, wc, precision):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    iy = _col_from_tile(iy_ref[0, 0])  # (TILE_P, 1)
+    ix = _col_from_tile(ix_ref[0, 0])  # (TILE_P, 1)
+
+    def fetch(y0, x0, bh, bw):
+        """DMA a (bh, bw) source block from HBM into scratch — data-dependent
+        offsets are legal for DMAs but not for direct VMEM vector loads."""
+        cp = pltpu.make_async_copy(
+            tex_hbm.at[i, j, pl.ds(y0, bh), pl.ds(x0, bw)],
+            scratch.at[pl.ds(0, bh), pl.ds(0, bw)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        return scratch[0:bh, 0:bw]
+
+    # rows/cols with nonzero hat weight: [floor(min), floor(max)+1] clipped
+    ylo = jnp.maximum(jnp.floor(jnp.min(iy)), 0.0)
+    yhi = jnp.minimum(jnp.floor(jnp.max(iy)) + 1.0, h - 1.0)
+    xlo = jnp.maximum(jnp.floor(jnp.min(ix)), 0.0)
+    xhi = jnp.minimum(jnp.floor(jnp.max(ix)) + 1.0, w - 1.0)
+    # aligned block starts (sublane 8 / lane 128); pl.multiple_of lets
+    # Mosaic prove tile alignment of the data-derived DMA offsets
+    y0 = pl.multiple_of(jnp.clip((ylo.astype(jnp.int32) // 8) * 8, 0, h - hb), 8)
+    x0 = pl.multiple_of(
+        jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb), 128)
+    fits = ((yhi.astype(jnp.int32) - y0 < hb)
+            & (xhi.astype(jnp.int32) - x0 < wb))
+
+    def bbox(_):
+        tex_b = fetch(y0, x0, hb, wb)
+        return _block_contrib(tex_b, ix, iy,
+                              x0.astype(jnp.float32), y0.astype(jnp.float32),
+                              wb, hb, precision)
+
+    def full_loop(_):
+        # hc | h and wc | w (wrapper invariant): exact non-overlapping tiling
+        n_y = h // hc
+        n_x = w // wc
+
+        def y_body(ky, acc):
+            cy0 = ky * hc
+            any_y = jnp.any((iy > cy0 - 1.0) & (iy < cy0 + hc))
+
+            def x_body(kx, acc):
+                cx0 = kx * wc
+                active = any_y & jnp.any((ix > cx0 - 1.0) & (ix < cx0 + wc))
+
+                def do(acc):
+                    tex_b = fetch(cy0, cx0, hc, wc)
+                    return acc + _block_contrib(
+                        tex_b, ix, iy, jnp.float32(0) + cx0,
+                        jnp.float32(0) + cy0, wc, hc, precision)
+
+                return jax.lax.cond(active, do, lambda a: a, acc)
+
+            return jax.lax.fori_loop(0, n_x, x_body, acc)
+
+        return jax.lax.fori_loop(0, n_y, y_body,
+                                 jnp.zeros((TILE_P, 1), jnp.float32))
+
+    acc = jax.lax.cond(fits, bbox, full_loop, 0)
+    out_ref[0, 0, 0] = _tile_from_col(acc)
+
+
+def _patch_tile(a, gh, gw):
+    """(B, gh, gw) -> (B, n_tiles, ROWS, COLS): square-ish output patches so
+    each kernel tile has a small source footprint."""
+    b = a.shape[0]
+    a = a.reshape(b, gh // ROWS, ROWS, gw // COLS, COLS)
+    a = jnp.transpose(a, (0, 1, 3, 2, 4))
+    return a.reshape(b, -1, ROWS, COLS)
+
+
+def _patch_untile(a, gh, gw):
+    """(B, C, n_tiles, ROWS, COLS) -> (B, C, gh, gw)."""
+    b, c = a.shape[:2]
+    a = a.reshape(b, c, gh // ROWS, gw // COLS, ROWS, COLS)
+    a = jnp.transpose(a, (0, 1, 2, 4, 3, 5))
+    return a.reshape(b, c, gh, gw)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "interpret"))
@@ -73,31 +189,46 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     """img (B,H,W,C), grid (B,Ho,Wo,2) -> (B,Ho,Wo,C); torch zero-pad
     semantics (align_corners=False)."""
     b, h, w, c = img.shape
-    assert h % HCHUNK == 0, (h, HCHUNK)
     _, gh, gw, _ = grid.shape
-    p = gh * gw
-    pad = (-p) % TILE_P
-    ix = (grid[..., 0].reshape(b, p) + 1.0) * (w * 0.5) - 0.5
-    iy = (grid[..., 1].reshape(b, p) + 1.0) * (h * 0.5) - 0.5
-    if pad:
-        # padded coords point far outside -> all-zero hat rows -> zero output
-        ix = jnp.pad(ix, ((0, 0), (0, pad)), constant_values=-10.0)
-        iy = jnp.pad(iy, ((0, 0), (0, pad)), constant_values=-10.0)
-    pp = p + pad
-    n_tiles = pp // TILE_P
-    ix = ix.reshape(b, n_tiles, ROWS, COLS)
-    iy = iy.reshape(b, n_tiles, ROWS, COLS)
+    ix = (grid[..., 0] + 1.0) * (w * 0.5) - 0.5
+    iy = (grid[..., 1] + 1.0) * (h * 0.5) - 0.5
+
+    # pad the source plane to aligned sizes (zero rows/cols are never hit by
+    # in-range coords and contribute zero — torch zero-pad preserved); the
+    # in-kernel blocks shrink to the plane when it is smaller than (HB, WB)
+    hh = h + (-h % 8)
+    ww = w + (-w % 128)
+    if (hh, ww) != (h, w):
+        img = jnp.pad(img, ((0, 0), (0, hh - h), (0, ww - w), (0, 0)))
+    # block geometry: bbox block (hb, wb) <= plane; fallback blocks (hc, wc)
+    # exactly tile the plane (divisors), so no overlap double-counts and no
+    # fetch overruns
+    hb = min(hh, HB)
+    wb = min(ww, WB)
+    hc = max(d for d in (64, 32, 16, 8) if hh % d == 0)
+    wc = max(d for d in (WCHUNK, 128) if ww % d == 0)
+
+    # pad the output to patch multiples; padded coords point far outside ->
+    # all-zero hat rows -> zero output, cropped after
+    ghp, gwp = -gh % ROWS, -gw % COLS
+    if ghp or gwp:
+        ix = jnp.pad(ix, ((0, 0), (0, ghp), (0, gwp)), constant_values=-10.0)
+        iy = jnp.pad(iy, ((0, 0), (0, ghp), (0, gwp)), constant_values=-10.0)
+    ghh, gww = gh + ghp, gw + gwp
+    ix = _patch_tile(ix, ghh, gww)
+    iy = _patch_tile(iy, ghh, gww)
+    n_tiles = ix.shape[1]
     tex = jnp.moveaxis(img, -1, 1)  # (B, C, H, W): one plane per program
 
     prec = "float32" if precision == "float32" else None
     out = pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, precision=prec),
-        # c then tiles: the source plane block index is constant across the
-        # inner tile axis, so the plane is DMA'd once per (b, c)
+        functools.partial(_kernel, h=hh, w=ww, hb=hb, wb=wb, hc=hc, wc=wc,
+                          precision=prec),
         grid=(b, c, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, h, w), lambda i, j, k: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # the source stays in HBM; the kernel DMAs only the blocks it
+            # needs (data-dependent offsets are legal for DMAs)
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 1, ROWS, COLS), lambda i, j, k: (i, k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ROWS, COLS), lambda i, j, k: (i, k, 0, 0),
@@ -107,12 +238,20 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
                                lambda i, j, k: (i, j, k, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, n_tiles, ROWS, COLS), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((max(hb, hc), max(wb, wc)), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * c * pp * h * w // 4,  # ~1/4 chunks active typically
-            bytes_accessed=b * c * (h * w + 3 * pp) * 4,
+            # one bbox block per tile for smooth warps
+            flops=2 * b * c * n_tiles * TILE_P * hb * wb,
+            bytes_accessed=b * c * (n_tiles * hb * wb + 3 * n_tiles * TILE_P) * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(tex, ix, iy)
-    out = out.reshape(b, c, pp)[:, :, :p]
-    return jnp.moveaxis(out, 1, -1).reshape(b, gh, gw, c).astype(img.dtype)
+    out = _patch_untile(out, ghh, gww)[:, :, :gh, :gw]
+    return jnp.moveaxis(out, 1, -1).astype(img.dtype)
