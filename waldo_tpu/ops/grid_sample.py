@@ -39,17 +39,32 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float32")
     flow/coordinate fields)."""
     impl = _IMPL
     src = img.shape[-3] * img.shape[-2]
+    c = img.shape[-1]
     if impl == "pallas":
-        # fused Pallas forward with MXU-matmul backward (custom VJP); falls
-        # back to the plain paths outside its specialization envelope
-        # (v2 kernel: any channel count, up to 512x1024 f32 source planes)
-        if src <= (1 << 19) and img.shape[-3] % 64 == 0 and img.shape[-2] <= 2048:
-            return _pallas_with_mxu_grad(img, grid, precision)
-        impl = "auto"
+        return _pallas_with_mxu_grad(img, grid, precision)
     if impl == "auto":
+        # Measured on v5e (scripts/sampler_bench.py, smooth pipeline grids):
+        # the XLA hat-matmul path wins for small jobs (its (P, W*C) HBM
+        # transient is cheap and it has no per-tile overhead); the Pallas
+        # bbox kernel wins once src_pixels*C is large — 256x512 C=23 fusion
+        # 244 vs 288 ms, 512x1024 C=23 fusion 251 vs 856 ms, 512x1024 C=1
+        # alpha 265 vs 305 ms. Crossover ~2^19 source-pixel-channels.
+        out_px = grid.shape[-3] * grid.shape[-2]
+        if (
+            jax.default_backend() == "tpu"
+            and src * c >= (1 << 19)
+            and src <= (1 << 22)
+            # small target grids waste the kernel's (16,256)-patch/group
+            # padding and lose to the hat-matmul path anyway (flow_warp_obj
+            # row of the bench); huge fold-in batches (training-time
+            # B*T*No folds) blow up the kernel's padded layouts
+            and out_px >= (1 << 15)
+            and img.shape[0] <= 256
+        ):
+            return _pallas_with_mxu_grad(img, grid, precision)
         impl = (
             "mxu"
-            if (src <= _MXU_MAX_SRC and img.shape[-1] <= _MXU_MAX_CHAN)
+            if (src <= _MXU_MAX_SRC and c <= _MXU_MAX_CHAN)
             else "gather"
         )
     if impl == "mxu":

@@ -4,25 +4,26 @@ Same math as ops.grid_sample.grid_sample_mxu (out[p,c] = sum_yx
 hat(iy_p,y) hat(ix_p,x) tex[y,x,c]) with the work restricted to the source
 rectangle a tile of output pixels actually samples from.
 
-v6 (round 2, shaped by on-chip measurement) — bounding-box blocks:
+v7 (round 2, shaped by on-chip measurement) — pipelined bounding-box blocks:
 - output pixels are re-tiled host-side into (16, 256) output PATCHES, so a
   kernel tile's source footprint is a small rectangle for the pipeline's
   smooth TPS/flow warps, and per-tile fixed costs amortize over 4096 pixels;
-- the kernel computes the tile's source bounding box from min/max of the
-  sample coordinates and runs ONE (TILE_P, HB) @ (HB, WB) MXU dot against a
-  dynamically-positioned (HB=128, WB=384) source block, DMA'd from HBM into
-  a VMEM scratch — no (TILE_P, W) buffer ever exists, so VMEM stays small
-  at any source size;
-- tiles whose footprint exceeds the static block (fast motion, strong TPS
-  zoom) fall back via lax.cond to a generic block-culled loop over the whole
-  plane — correctness never depends on the bbox fitting. Conservative
-  activation is CORRECT, not just safe: a pixel whose iy lies outside a
-  chunk has an all-zero ry row there;
+- each program processes a GROUP of TG tiles x all C channels. Per-tile
+  source bounding boxes (from min/max of the sample coordinates) are
+  precomputed into SMEM, then a flat (tile, channel) loop runs with
+  ping-pong DMA: the next step's source block streams from HBM while the
+  current step's (TILE_P, HB) @ (HB, WB) MXU dot runs. v6 paid a serialized
+  compute->scalar->DMA->compute latency chain (~20us) per single-tile
+  program; v7 hides it;
+- no (TILE_P, W) buffer ever exists, so VMEM stays small at any source
+  size; tiles whose footprint exceeds the static (HB=128, WB=384) block
+  (fast motion, strong TPS zoom) fall back via lax.cond to a generic
+  block-culled loop over the whole plane — correctness never depends on the
+  bbox fitting. Conservative activation is CORRECT, not just safe: a pixel
+  whose iy lies outside a chunk has an all-zero ry row there;
 - coordinates and outputs travel as (16, 256) spatial tiles (Pallas block
   rules require (8k, 128k) minor block dims); the kernel flattens a tile to
-  a (TILE_P, 1) column with pltpu.repeat + an iota mask — pure VPU ops —
-  replacing v4's ~16us/program MXU conversion dots (K=16 padded to 128,
-  6-pass f32) that dominated its runtime.
+  a (TILE_P, 1) column with pltpu.repeat + an iota mask — pure VPU ops.
 
 Mosaic hardware constraints (discovered on-chip; interpret mode hides them):
 - tpu.iota only yields integer vectors — iota int32, then cast to f32;
@@ -31,9 +32,9 @@ Mosaic hardware constraints (discovered on-chip; interpret mode hides them):
 - direct VMEM vector loads cannot take data-dependent offsets; block
   fetches go through make_async_copy (DMAs accept them), with
   pl.multiple_of hints so Mosaic can prove tile alignment;
-- dynamic block starts are aligned to sublane (8) / lane (128) multiples.
-
-Channels ride a grid axis (one (H, W) source plane per program).
+- dynamic block starts are aligned to sublane (8) / lane (128) multiples;
+- the default MXU precision rounds operands to bf16 — the output-column
+  conversion dot pins precision="float32".
 """
 from __future__ import annotations
 
@@ -47,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS = 16
 COLS = 256
 TILE_P = ROWS * COLS
+TG = 16     # tiles per program (group)
 HB = 128    # bbox block height (rows); sublane-aligned starts
 WB = 384    # bbox block width (cols); lane-aligned starts
 WCHUNK = 256  # fallback loop block width
@@ -98,72 +100,110 @@ def _block_contrib(tex_b, ix, iy, x0, y0, wc, hc, precision):
     return (m * rx).sum(axis=1, keepdims=True)
 
 
-def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, scratch, sem, *,
-            h, w, hb, wb, hc, wc, precision):
+def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
+            bounds, *, h, w, c, hb, wb, hc, wc, precision):
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    iy = _col_from_tile(iy_ref[0, 0])  # (TILE_P, 1)
-    ix = _col_from_tile(ix_ref[0, 0])  # (TILE_P, 1)
+    n_steps = TG * c
 
-    def fetch(y0, x0, bh, bw):
-        """DMA a (bh, bw) source block from HBM into scratch — data-dependent
-        offsets are legal for DMAs but not for direct VMEM vector loads."""
-        cp = pltpu.make_async_copy(
-            tex_hbm.at[i, j, pl.ds(y0, bh), pl.ds(x0, bw)],
-            scratch.at[pl.ds(0, bh), pl.ds(0, bw)],
-            sem,
+    def coords(t):
+        return (_col_from_tile(ix_ref[0, t]), _col_from_tile(iy_ref[0, t]))
+
+    # -- phase 1: per-tile bbox bounds into SMEM --------------------------
+    def bounds_body(t, _):
+        ixc, iyc = coords(t)
+        ylo = jnp.maximum(jnp.floor(jnp.min(iyc)), 0.0)
+        yhi = jnp.minimum(jnp.floor(jnp.max(iyc)) + 1.0, h - 1.0)
+        xlo = jnp.maximum(jnp.floor(jnp.min(ixc)), 0.0)
+        xhi = jnp.minimum(jnp.floor(jnp.max(ixc)) + 1.0, w - 1.0)
+        y0 = jnp.clip((ylo.astype(jnp.int32) // 8) * 8, 0, h - hb)
+        x0 = jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb)
+        fits = ((yhi.astype(jnp.int32) - y0 < hb)
+                & (xhi.astype(jnp.int32) - x0 < wb))
+        bounds[t, 0] = y0
+        bounds[t, 1] = x0
+        bounds[t, 2] = fits.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, TG, bounds_body, 0)
+
+    # -- DMA helpers ------------------------------------------------------
+    def step_copy(s):
+        """Copy descriptor for step s (tile s // c, channel s % c)."""
+        t = s // c
+        ck = s % c
+        y0 = pl.multiple_of(bounds[t, 0], 8)
+        x0 = pl.multiple_of(bounds[t, 1], 128)
+        buf = jax.lax.rem(s, 2)
+        return pltpu.make_async_copy(
+            tex_hbm.at[i, ck, pl.ds(y0, hb), pl.ds(x0, wb)],
+            bufs.at[buf],
+            sems.at[buf],
         )
-        cp.start()
-        cp.wait()
-        return scratch[0:bh, 0:bw]
 
-    # rows/cols with nonzero hat weight: [floor(min), floor(max)+1] clipped
-    ylo = jnp.maximum(jnp.floor(jnp.min(iy)), 0.0)
-    yhi = jnp.minimum(jnp.floor(jnp.max(iy)) + 1.0, h - 1.0)
-    xlo = jnp.maximum(jnp.floor(jnp.min(ix)), 0.0)
-    xhi = jnp.minimum(jnp.floor(jnp.max(ix)) + 1.0, w - 1.0)
-    # aligned block starts (sublane 8 / lane 128); pl.multiple_of lets
-    # Mosaic prove tile alignment of the data-derived DMA offsets
-    y0 = pl.multiple_of(jnp.clip((ylo.astype(jnp.int32) // 8) * 8, 0, h - hb), 8)
-    x0 = pl.multiple_of(
-        jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb), 128)
-    fits = ((yhi.astype(jnp.int32) - y0 < hb)
-            & (xhi.astype(jnp.int32) - x0 < wb))
+    def start(s):
+        step_copy(s).start()
 
-    def bbox(_):
-        tex_b = fetch(y0, x0, hb, wb)
-        return _block_contrib(tex_b, ix, iy,
-                              x0.astype(jnp.float32), y0.astype(jnp.float32),
-                              wb, hb, precision)
+    # -- phase 2: flat (tile, channel) loop, ping-pong DMA ----------------
+    start(0)
 
-    def full_loop(_):
-        # hc | h and wc | w (wrapper invariant): exact non-overlapping tiling
-        n_y = h // hc
-        n_x = w // wc
+    def step_body(s, _):
+        t = s // c
+        ck = s % c
 
-        def y_body(ky, acc):
-            cy0 = ky * hc
-            any_y = jnp.any((iy > cy0 - 1.0) & (iy < cy0 + hc))
+        @pl.when(s + 1 < n_steps)
+        def _():
+            start(s + 1)
 
-            def x_body(kx, acc):
-                cx0 = kx * wc
-                active = any_y & jnp.any((ix > cx0 - 1.0) & (ix < cx0 + wc))
+        ixc, iyc = coords(t)
+        y0 = bounds[t, 0]
+        x0 = bounds[t, 1]
+        fits = bounds[t, 2] == 1
+        step_copy(s).wait()
 
-                def do(acc):
-                    tex_b = fetch(cy0, cx0, hc, wc)
-                    return acc + _block_contrib(
-                        tex_b, ix, iy, jnp.float32(0) + cx0,
-                        jnp.float32(0) + cy0, wc, hc, precision)
+        def bbox(_):
+            buf = jax.lax.rem(s, 2)
+            return _block_contrib(bufs[buf], ixc, iyc,
+                                  x0.astype(jnp.float32),
+                                  y0.astype(jnp.float32), wb, hb, precision)
 
-                return jax.lax.cond(active, do, lambda a: a, acc)
+        def full_loop(_):
+            # hc | h and wc | w (wrapper invariant): exact tiling, no overlap
+            n_y = h // hc
+            n_x = w // wc
 
-            return jax.lax.fori_loop(0, n_x, x_body, acc)
+            def y_body(ky, acc):
+                cy0 = ky * hc
+                any_y = jnp.any((iyc > cy0 - 1.0) & (iyc < cy0 + hc))
 
-        return jax.lax.fori_loop(0, n_y, y_body,
-                                 jnp.zeros((TILE_P, 1), jnp.float32))
+                def x_body(kx, acc):
+                    cx0 = kx * wc
+                    active = any_y & jnp.any(
+                        (ixc > cx0 - 1.0) & (ixc < cx0 + wc))
 
-    acc = jax.lax.cond(fits, bbox, full_loop, 0)
-    out_ref[0, 0, 0] = _tile_from_col(acc)
+                    def do(acc):
+                        cp = pltpu.make_async_copy(
+                            tex_hbm.at[i, ck, pl.ds(cy0, hc), pl.ds(cx0, wc)],
+                            fb_buf,
+                            fb_sem,
+                        )
+                        cp.start()
+                        cp.wait()
+                        return acc + _block_contrib(
+                            fb_buf[...], ixc, iyc, jnp.float32(0) + cx0,
+                            jnp.float32(0) + cy0, wc, hc, precision)
+
+                    return jax.lax.cond(active, do, lambda a: a, acc)
+
+                return jax.lax.fori_loop(0, n_x, x_body, acc)
+
+            return jax.lax.fori_loop(0, n_y, y_body,
+                                     jnp.zeros((TILE_P, 1), jnp.float32))
+
+        acc = jax.lax.cond(fits, bbox, full_loop, 0)
+        out_ref[0, ck, t] = _tile_from_col(acc)
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step_body, 0)
 
 
 def _patch_tile(a, gh, gw):
@@ -208,8 +248,9 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     hc = max(d for d in (64, 32, 16, 8) if hh % d == 0)
     wc = max(d for d in (WCHUNK, 128) if ww % d == 0)
 
-    # pad the output to patch multiples; padded coords point far outside ->
-    # all-zero hat rows -> zero output, cropped after
+    # pad the output to (ROWS, COLS) patch multiples AND the tile count to a
+    # group multiple; padded coords point far outside -> all-zero hat rows
+    # -> zero output, cropped after
     ghp, gwp = -gh % ROWS, -gw % COLS
     if ghp or gwp:
         ix = jnp.pad(ix, ((0, 0), (0, ghp), (0, gwp)), constant_values=-10.0)
@@ -218,40 +259,52 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     ix = _patch_tile(ix, ghh, gww)
     iy = _patch_tile(iy, ghh, gww)
     n_tiles = ix.shape[1]
-    tex = jnp.moveaxis(img, -1, 1)  # (B, C, H, W): one plane per program
+    gpad = -n_tiles % TG
+    if gpad:
+        ix = jnp.pad(ix, ((0, 0), (0, gpad), (0, 0), (0, 0)),
+                     constant_values=-10.0)
+        iy = jnp.pad(iy, ((0, 0), (0, gpad), (0, 0), (0, 0)),
+                     constant_values=-10.0)
+    n_tp = n_tiles + gpad
+    n_groups = n_tp // TG
+    tex = jnp.moveaxis(img, -1, 1)  # (B, C, H, W)
 
     prec = "float32" if precision == "float32" else None
     out = pl.pallas_call(
-        functools.partial(_kernel, h=hh, w=ww, hb=hb, wb=wb, hc=hc, wc=wc,
-                          precision=prec),
-        grid=(b, c, n_tiles),
+        functools.partial(_kernel, h=hh, w=ww, c=c, hb=hb, wb=wb, hc=hc,
+                          wc=wc, precision=prec),
+        grid=(b, n_groups),
         in_specs=[
             # the source stays in HBM; the kernel DMAs only the blocks it
             # needs (data-dependent offsets are legal for DMAs)
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1, ROWS, COLS), lambda i, j, k: (i, k, 0, 0),
+            pl.BlockSpec((1, TG, ROWS, COLS), lambda i, g: (i, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ROWS, COLS), lambda i, j, k: (i, k, 0, 0),
+            pl.BlockSpec((1, TG, ROWS, COLS), lambda i, g: (i, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, ROWS, COLS),
-                               lambda i, j, k: (i, j, k, 0, 0),
+        out_specs=pl.BlockSpec((1, c, TG, ROWS, COLS),
+                               lambda i, g: (i, 0, g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, n_tiles, ROWS, COLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, n_tp, ROWS, COLS), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((max(hb, hc), max(wb, wc)), jnp.float32),
+            pltpu.VMEM((2, hb, wb), jnp.float32),       # ping-pong blocks
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((hc, wc), jnp.float32),          # fallback block
             pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((TG, 3), jnp.int32),             # y0, x0, fits
         ],
         cost_estimate=pl.CostEstimate(
-            # one bbox block per tile for smooth warps
-            flops=2 * b * c * n_tiles * TILE_P * hb * wb,
-            bytes_accessed=b * c * (n_tiles * hb * wb + 3 * n_tiles * TILE_P) * 4,
+            # one bbox block per (tile, channel) for smooth warps
+            flops=2 * b * c * n_tp * TILE_P * hb * wb // max(hb * wb // (64 * 256), 1),
+            bytes_accessed=b * c * n_tp * (hb * wb + 3 * TILE_P) * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(tex, ix, iy)
+    out = out[:, :, :n_tiles]
     out = _patch_untile(out, ghh, gww)[:, :, :gh, :gw]
     return jnp.moveaxis(out, 1, -1).astype(img.dtype)
