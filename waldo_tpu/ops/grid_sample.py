@@ -114,10 +114,14 @@ def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float
     # Bound live memory: a plain vmap would materialize every image's
     # (P,H)/(P,W) hat matrices at once (tens of GB at HD shapes). Scan over
     # groups sized to ~1 GiB of transient hat/intermediate buffers.
+    # jax.checkpoint is load-bearing under grad: without it the scan saves
+    # every group's (P, W) hat matrices as backward residuals — 32 GB at
+    # flagship LVD-training shapes (b≈1000 at 128x256 sources) — while remat
+    # recomputes them from the tiny coordinate vectors instead.
     bytes_per_img = p * (h + w + w * c + c) * 4
     group = max(1, min(b, (1 << 30) // max(bytes_per_img, 1)))
     if group >= b:
-        out = jax.vmap(one)(img, ix, iy)
+        out = jax.checkpoint(jax.vmap(one))(img, ix, iy)
     else:
         pad = (-b) % group
         imgp = jnp.pad(img, ((0, pad), (0, 0), (0, 0), (0, 0)))
@@ -125,7 +129,7 @@ def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float
         iyp = jnp.pad(iy, ((0, pad), (0, 0)))
         ng = (b + pad) // group
         out = jax.lax.map(
-            lambda t: jax.vmap(one)(*t),
+            jax.checkpoint(lambda t: jax.vmap(one)(*t)),
             (
                 imgp.reshape(ng, group, h, w, c),
                 ixp.reshape(ng, group, p),

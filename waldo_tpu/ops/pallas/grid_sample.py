@@ -45,12 +45,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 16
-COLS = 256
+ROWS = 32
+COLS = 128
 TILE_P = ROWS * COLS
 TG = 16     # tiles per program (group)
-HB = 128    # bbox block height (rows); sublane-aligned starts
-WB = 384    # bbox block width (cols); lane-aligned starts
+HB = 160    # bbox block height (rows); sublane-aligned starts
+WB = 256    # bbox block width (cols); lane-aligned starts
 WCHUNK = 256  # fallback loop block width
 
 
@@ -69,28 +69,33 @@ def _col_from_tile(tile):
     return jnp.sum(m * e.astype(jnp.float32), axis=1, keepdims=True)
 
 
-def _tile_from_col(col):
+def _tile_from_col(col, precision="float32"):
     """(TILE_P, 1) column -> (ROWS, COLS) tile (inverse of _col_from_tile):
     out[r, c'] = col[c'*ROWS + r] via St[r, p] = [p % ROWS == r] applied to
-    the E-masked column. The dot pins f32 precision (values must not round
-    to bf16); K=TILE_P so the MXU is fully utilized."""
+    the E-masked column. In "float32" mode the dot pins f32 precision
+    (values must not round to bf16); in fast mode bf16 rounding (~4e-3
+    relative) matches the advertised tolerance of the fast sample path."""
     st = (_iota((ROWS, TILE_P), 1) % ROWS == _iota((ROWS, TILE_P), 0))
     e = (_iota((TILE_P, COLS), 0) // ROWS == _iota((TILE_P, COLS), 1))
     return jax.lax.dot_general(
         st.astype(jnp.float32), col * e.astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision="float32",
+        precision=precision,
     )
 
 
-def _block_contrib(tex_b, ix, iy, x0, y0, wc, hc, precision):
-    """Contribution of source block tex_b (hc, wc) at (y0, x0) to the tile:
-    ((ry @ tex_b) * rx).sum(lanes) -> (TILE_P, 1)."""
+def _hats(ix, iy, x0, y0, wc, hc):
+    """Hat (bilinear weight) matrices of a tile against a source block."""
     idx_h = _iota((TILE_P, hc), 1).astype(jnp.float32) + y0
     ry = jnp.maximum(1.0 - jnp.abs(iy - idx_h), 0.0)
     idx_w = _iota((TILE_P, wc), 1).astype(jnp.float32) + x0
     rx = jnp.maximum(1.0 - jnp.abs(ix - idx_w), 0.0)
+    return ry, rx
+
+
+def _hat_contrib(tex_b, ry, rx, precision):
+    """((ry @ tex_b) * rx).sum(lanes) -> (TILE_P, 1)."""
     m = jax.lax.dot_general(
         ry, tex_b,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -98,6 +103,12 @@ def _block_contrib(tex_b, ix, iy, x0, y0, wc, hc, precision):
         precision=precision,
     )
     return (m * rx).sum(axis=1, keepdims=True)
+
+
+def _block_contrib(tex_b, ix, iy, x0, y0, wc, hc, precision):
+    """Contribution of source block tex_b (hc, wc) at (y0, x0) to the tile."""
+    ry, rx = _hats(ix, iy, x0, y0, wc, hc)
+    return _hat_contrib(tex_b, ry, rx, precision)
 
 
 def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
@@ -154,6 +165,9 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
         def _():
             start(s + 1)
 
+        # NOTE: carrying the hats across the channel loop (recompute only at
+        # ck==0) was measured SLOWER (413 vs 244 ms on the C=23 fusion shape)
+        # — the (TILE_P, WB) cond/loop carries cost more than the recompute.
         ixc, iyc = coords(t)
         y0 = bounds[t, 0]
         x0 = bounds[t, 1]
@@ -200,7 +214,8 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
                                      jnp.zeros((TILE_P, 1), jnp.float32))
 
         acc = jax.lax.cond(fits, bbox, full_loop, 0)
-        out_ref[0, ck, t] = _tile_from_col(acc)
+        out_ref[0, ck, t] = _tile_from_col(
+            acc, "float32" if precision == "float32" else None)
         return 0
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
