@@ -277,3 +277,37 @@ def test_pallas_bias_act_matches_jnp():
     got = np.asarray(bias_act_pallas(x, None, act="lrelu",
                                      gain=float(_ACTS["lrelu"][1]), interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_mxu_scan_path_grad_matches_vmap_path():
+    """The group-scan branch of grid_sample_mxu must produce the same values
+    AND gradients as the vmap branch — with jax.checkpoint on the scan body
+    (without it, the scan saves the (P, W) hat matrices as grad residuals:
+    32 GB at flagship LVD-training shapes)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    import waldo_tpu.ops.grid_sample  # noqa: F401
+
+    gs = sys.modules["waldo_tpu.ops.grid_sample"]
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(6, 16, 24, 2).astype(np.float32))
+    grid = jnp.asarray(rng.rand(6, 10, 12, 2).astype(np.float32) * 1.6 - 0.8)
+
+    def loss(im, gr):
+        return (gs.grid_sample_mxu(im, gr) ** 2).sum()
+
+    ref_val, ref_grads = jax.value_and_grad(loss, argnums=(0, 1))(img, grid)
+
+    old = gs._SCAN_TRANSIENT_BYTES
+    gs._SCAN_TRANSIENT_BYTES = 8192  # force group < b -> lax.map branch
+    try:
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1))(img, grid)
+    finally:
+        gs._SCAN_TRANSIENT_BYTES = old
+
+    assert np.allclose(float(val), float(ref_val), rtol=1e-5)
+    for g, rg in zip(grads, ref_grads):
+        assert np.allclose(np.asarray(g), np.asarray(rg), atol=1e-5)

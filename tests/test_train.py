@@ -141,3 +141,22 @@ def test_nonstrict_restore_changed_head(tmp_path):
     out2 = ckpt.restore("pe", exact, which="7", strict=True)
     np.testing.assert_array_equal(np.asarray(out2["head"]["kernel"]),
                                   saved["head"]["kernel"])
+
+
+def test_checkpoint_iter_zero_is_not_latest(tmp_path):
+    """`which_iter=0` must load the iter-0 checkpoint, not silently fall
+    back to `latest` (a falsy-zero bug found by the real-data trend: eval
+    at step "0" returned bit-identical metrics to "latest")."""
+    import jax.numpy as jnp
+
+    from waldo_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save("pe", {"w": np.zeros(3, np.float32)}, 0)
+    ckpt.save("pe", {"w": np.ones(3, np.float32)}, 5, name="latest")
+
+    # the evaluator/trainer-side normalization: only None/"" mean latest
+    for which, expect in [("0", 0.0), (None, 1.0), ("", 1.0), ("latest", 1.0)]:
+        norm = "latest" if which in (None, "") else which
+        out = ckpt.restore("pe", {"w": np.full(3, -1, np.float32)}, which=norm)
+        assert float(np.asarray(out["w"])[0]) == expect, (which, out)

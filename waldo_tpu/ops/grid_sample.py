@@ -23,6 +23,9 @@ _IMPL = "auto"  # "auto" | "gather" | "mxu" | "pallas"
 # bounds the transient hat-matrix memory.
 _MXU_MAX_SRC = 1 << 19
 _MXU_MAX_CHAN = 32
+# transient budget for the MXU path's group scan (tests shrink this to
+# exercise the scan + remat branch at small shapes)
+_SCAN_TRANSIENT_BYTES = 1 << 30
 
 
 def set_impl(name: str) -> None:
@@ -119,7 +122,7 @@ def grid_sample_mxu(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float
     # flagship LVD-training shapes (b≈1000 at 128x256 sources) — while remat
     # recomputes them from the tiny coordinate vectors instead.
     bytes_per_img = p * (h + w + w * c + c) * 4
-    group = max(1, min(b, (1 << 30) // max(bytes_per_img, 1)))
+    group = max(1, min(b, _SCAN_TRANSIENT_BYTES // max(bytes_per_img, 1)))
     if group >= b:
         out = jax.checkpoint(jax.vmap(one))(img, ix, iy)
     else:

@@ -52,7 +52,9 @@ class Evaluator:
         ]:
             if label in params and (load_path is not None):
                 params[label] = self.ckpt.restore(label, params[label],
-                                                  which=which or "latest",
+                                                  # `0` is a valid iter — only
+                                                  # None/"" mean "latest"
+                                                  which="latest" if which in (None, "") else which,
                                                   load_path=load_path)
         self.params = replicate(params, self.mesh)
         self._predict = jax.jit(lambda p, b: self.syn.predict(p, b))

@@ -80,7 +80,8 @@ class Trainer:
         for label, load_path, which in specs:
             if label not in params:
                 continue
-            which = which or "latest"
+            # `0` is a valid iter — only None/"" mean "latest"
+            which = "latest" if which in (None, "") else which
             try:
                 if load_path or self.cfg.cont_train:
                     params[label] = self.ckpt.restore(
