@@ -311,3 +311,39 @@ def test_mxu_scan_path_grad_matches_vmap_path():
     assert np.allclose(float(val), float(ref_val), rtol=1e-5)
     for g, rg in zip(grads, ref_grads):
         assert np.allclose(np.asarray(g), np.asarray(rg), atol=1e-5)
+
+
+def test_pallas_grid_sample_per_channel_grids():
+    """The multigrid form (img (B,H,W,C), grids (B,C,Ho,Wo,2)) must match C
+    independent single-channel samples — the alpha_ctx warp's layout."""
+    import jax.numpy as jnp
+
+    from waldo_tpu.ops.pallas.grid_sample import grid_sample_pallas
+    from waldo_tpu.ops.grid_sample import grid_sample_ref
+
+    rng = np.random.RandomState(3)
+    b, h, w, c, gh, gw = 2, 64, 128, 5, 48, 70
+    img = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    grids = jnp.asarray(rng.rand(b, c, gh, gw, 2).astype(np.float32) * 2 - 1)
+    out = grid_sample_pallas(img, grids, interpret=True)
+    ref = jnp.stack(
+        [grid_sample_ref(img[..., k:k + 1], grids[:, k])[..., 0]
+         for k in range(c)], -1)
+    assert np.abs(np.asarray(out - ref)).max() < 1e-5
+
+
+def test_grid_sample_multigrid_fallback_matches():
+    """CPU fallback of grid_sample_multigrid folds channels into batch."""
+    import jax.numpy as jnp
+
+    from waldo_tpu.ops.grid_sample import grid_sample_multigrid, grid_sample_ref
+
+    rng = np.random.RandomState(4)
+    b, h, w, c, gh, gw = 2, 32, 48, 3, 20, 26
+    img = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    grids = jnp.asarray(rng.rand(b, c, gh, gw, 2).astype(np.float32) * 2 - 1)
+    out = grid_sample_multigrid(img, grids)
+    ref = jnp.stack(
+        [grid_sample_ref(img[..., k:k + 1], grids[:, k])[..., 0]
+         for k in range(c)], -1)
+    assert np.abs(np.asarray(out - ref)).max() < 1e-5

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import TPSWarp, InverseWarp, get_grid, grid_sample, resize
+from ..ops.grid_sample import grid_sample_multigrid
 from ..utils import gather_time
 from ..utils.profiling import annotate
 
@@ -288,19 +289,29 @@ class Warper:
         flow = jnp.moveaxis(flow, -2, 1)  # B Tc Tp No+1 H W 2
         if self.scale_hd != 1:
             flow = resize(flow, self.scale_hd)  # B Tc Tp No+1 Hd Wd 2
-        sample_grid = self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)
+        sample_grid = self.src_grid_hd[None, None] + flow.reshape(
+            -1, no + 1, hd, wd, 2
+        )  # (B*Tc*Tp, No+1, Hd, Wd, 2): per-layer grids
 
         # warp per-layer alphas along the flow (lvd.py:676-680). In both paths
         # ctx_ts indexes into the alpha window (full T, or leading Tc frames
         # when restrict_to_ctx), so one gather covers both.
         alpha_ctx = gather_time(alpha, ctx_ts)  # B Tc Tp No+1 Hd Wd 1
         # alpha maps tolerate bf16 sampling error (~4e-3 on [0,1] masks);
-        # this is the largest sample batch of the pipeline
+        # this is the largest sample batch of the pipeline. Layers become
+        # per-grid channels (grid_sample_multigrid) so one kernel program
+        # covers all No+1 planes of a (b,ctx,pred) cell.
         with annotate("warper/alpha_ctx_sample"):
-            alpha_ctx = grid_sample(
-                alpha_ctx.reshape(-1, hd, wd, 1), sample_grid,
-                precision=self.sample_precision
-            ).reshape(b, tc, tp, no + 1, hd, wd, 1)
+            alpha_ctx = grid_sample_multigrid(
+                jnp.moveaxis(
+                    alpha_ctx.reshape(-1, no + 1, hd, wd), 1, -1
+                ),  # (B*Tc*Tp, Hd, Wd, No+1)
+                sample_grid,
+                precision=self.sample_precision,
+            )
+        alpha_ctx = jnp.moveaxis(alpha_ctx, -1, 1).reshape(
+            b, tc, tp, no + 1, hd, wd, 1
+        )
         alpha_ctx = alpha_ctx * is_obj
         disocc = alpha_ctx.max(axis=3)  # B Tc Tp Hd Wd 1
 

@@ -169,6 +169,65 @@ def _pallas_bwd(precision, res, g):
 _pallas_with_mxu_grad.defvjp(_pallas_fwd, _pallas_bwd)
 
 
+def grid_sample_multigrid(img: jnp.ndarray, grids: jnp.ndarray,
+                          precision: str = "float32") -> jnp.ndarray:
+    """Per-channel-grid sampling: out[..., k] samples img[..., k] along
+    grids[:, k]. img (B,H,W,C), grids (B,C,Ho,Wo,2) -> (B,Ho,Wo,C).
+
+    This is the alpha_ctx warp's natural shape (each layer-alpha plane rides
+    its own flow). The Pallas kernel runs all C planes of an image in one
+    program (bounds per step), amortizing launches C-fold over the folded
+    C=1 formulation; elsewhere channels fold into the batch of the standard
+    sampler."""
+    b, h, w, c = img.shape
+    src = h * w
+    out_px = grids.shape[-3] * grids.shape[-2]
+    if (
+        _IMPL in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and src * c >= (1 << 19)
+        and src <= (1 << 22)
+        and out_px >= (1 << 15)
+        and b <= 256
+    ):
+        return _pallas_mg_with_mxu_grad(img, grids, precision)
+    bc = b * c
+    img_f = jnp.moveaxis(img, -1, 1).reshape(bc, h, w, 1)
+    grids_f = grids.reshape((bc,) + grids.shape[2:])
+    out = grid_sample(img_f, grids_f, precision=precision)
+    return jnp.moveaxis(out.reshape((b, c) + out.shape[1:-1]), 1, -1)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pallas_mg_with_mxu_grad(img, grids, precision):
+    from .pallas.grid_sample import grid_sample_pallas
+
+    return grid_sample_pallas(img, grids, precision=precision)
+
+
+def _pallas_mg_fwd(img, grids, precision):
+    from .pallas.grid_sample import grid_sample_pallas
+
+    return grid_sample_pallas(img, grids, precision=precision), (img, grids)
+
+
+def _pallas_mg_bwd(precision, res, g):
+    img, grids = res
+    b, h, w, c = img.shape
+
+    def folded(im, gr):
+        im_f = jnp.moveaxis(im, -1, 1).reshape(b * c, h, w, 1)
+        gr_f = gr.reshape((b * c,) + gr.shape[2:])
+        out = grid_sample_mxu(im_f, gr_f, precision=precision)
+        return jnp.moveaxis(out.reshape((b, c) + out.shape[1:-1]), 1, -1)
+
+    _, vjp = jax.vjp(folded, img, grids)
+    return vjp(g)
+
+
+_pallas_mg_with_mxu_grad.defvjp(_pallas_mg_fwd, _pallas_mg_bwd)
+
+
 def grid_sample_ref(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = img.shape
     gb, gh, gw, _ = grid.shape

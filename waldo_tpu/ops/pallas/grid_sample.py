@@ -112,16 +112,24 @@ def _block_contrib(tex_b, ix, iy, x0, y0, wc, hc, precision):
 
 
 def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
-            bounds, *, h, w, c, hb, wb, hc, wc, precision):
+            bounds, *, h, w, c, hb, wb, hc, wc, precision, shared):
+    """shared=True: one grid per image, all channels sample along it (ctx
+    fusion). shared=False: per-channel grids (the alpha_ctx warp: each
+    layer-alpha plane rides its own flow) — bounds are then per step."""
     i = pl.program_id(0)
     n_steps = TG * c
+    n_bounds = TG if shared else TG * c
 
-    def coords(t):
-        return (_col_from_tile(ix_ref[0, t]), _col_from_tile(iy_ref[0, t]))
+    def coords(t, ck):
+        cc = 0 if shared else ck
+        return (_col_from_tile(ix_ref[0, cc, t]),
+                _col_from_tile(iy_ref[0, cc, t]))
 
-    # -- phase 1: per-tile bbox bounds into SMEM --------------------------
-    def bounds_body(t, _):
-        ixc, iyc = coords(t)
+    # -- phase 1: per-tile (or per-step) bbox bounds into SMEM ------------
+    def bounds_body(q, _):
+        t = q if shared else q // c
+        ck = 0 if shared else q % c
+        ixc, iyc = coords(t, ck)
         ylo = jnp.maximum(jnp.floor(jnp.min(iyc)), 0.0)
         yhi = jnp.minimum(jnp.floor(jnp.max(iyc)) + 1.0, h - 1.0)
         xlo = jnp.maximum(jnp.floor(jnp.min(ixc)), 0.0)
@@ -130,20 +138,21 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
         x0 = jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb)
         fits = ((yhi.astype(jnp.int32) - y0 < hb)
                 & (xhi.astype(jnp.int32) - x0 < wb))
-        bounds[t, 0] = y0
-        bounds[t, 1] = x0
-        bounds[t, 2] = fits.astype(jnp.int32)
+        bounds[q, 0] = y0
+        bounds[q, 1] = x0
+        bounds[q, 2] = fits.astype(jnp.int32)
         return 0
 
-    jax.lax.fori_loop(0, TG, bounds_body, 0)
+    jax.lax.fori_loop(0, n_bounds, bounds_body, 0)
 
     # -- DMA helpers ------------------------------------------------------
     def step_copy(s):
         """Copy descriptor for step s (tile s // c, channel s % c)."""
         t = s // c
         ck = s % c
-        y0 = pl.multiple_of(bounds[t, 0], 8)
-        x0 = pl.multiple_of(bounds[t, 1], 128)
+        q = t if shared else s
+        y0 = pl.multiple_of(bounds[q, 0], 8)
+        x0 = pl.multiple_of(bounds[q, 1], 128)
         buf = jax.lax.rem(s, 2)
         return pltpu.make_async_copy(
             tex_hbm.at[i, ck, pl.ds(y0, hb), pl.ds(x0, wb)],
@@ -168,10 +177,11 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
         # NOTE: carrying the hats across the channel loop (recompute only at
         # ck==0) was measured SLOWER (413 vs 244 ms on the C=23 fusion shape)
         # — the (TILE_P, WB) cond/loop carries cost more than the recompute.
-        ixc, iyc = coords(t)
-        y0 = bounds[t, 0]
-        x0 = bounds[t, 1]
-        fits = bounds[t, 2] == 1
+        ixc, iyc = coords(t, ck)
+        q = t if shared else s
+        y0 = bounds[q, 0]
+        x0 = bounds[q, 1]
+        fits = bounds[q, 2] == 1
         step_copy(s).wait()
 
         def bbox(_):
@@ -182,6 +192,7 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
 
         def full_loop(_):
             # hc | h and wc | w (wrapper invariant): exact tiling, no overlap
+
             n_y = h // hc
             n_x = w // wc
 
@@ -241,10 +252,19 @@ def _patch_untile(a, gh, gw):
 @functools.partial(jax.jit, static_argnames=("precision", "interpret"))
 def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
                        precision: str = "float32", interpret: bool = False):
-    """img (B,H,W,C), grid (B,Ho,Wo,2) -> (B,Ho,Wo,C); torch zero-pad
-    semantics (align_corners=False)."""
+    """img (B,H,W,C), grid (B,Ho,Wo,2) or per-channel (B,C,Ho,Wo,2)
+    -> (B,Ho,Wo,C); torch zero-pad semantics (align_corners=False).
+
+    The per-channel form samples img[..., k] along grid[:, k] — the
+    alpha_ctx warp's shape (layers = channels, each with its own flow),
+    amortizing program launches C-fold vs C separate single-channel calls."""
     b, h, w, c = img.shape
-    _, gh, gw, _ = grid.shape
+    shared = grid.ndim == 4
+    if shared:
+        grid = grid[:, None]
+    gc = grid.shape[1]
+    assert gc == (1 if shared else c), (img.shape, grid.shape)
+    _, _, gh, gw, _ = grid.shape
     ix = (grid[..., 0] + 1.0) * (w * 0.5) - 0.5
     iy = (grid[..., 1] + 1.0) * (h * 0.5) - 0.5
 
@@ -268,11 +288,12 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     # -> zero output, cropped after
     ghp, gwp = -gh % ROWS, -gw % COLS
     if ghp or gwp:
-        ix = jnp.pad(ix, ((0, 0), (0, ghp), (0, gwp)), constant_values=-10.0)
-        iy = jnp.pad(iy, ((0, 0), (0, ghp), (0, gwp)), constant_values=-10.0)
+        pad5 = ((0, 0), (0, 0), (0, ghp), (0, gwp))
+        ix = jnp.pad(ix, pad5, constant_values=-10.0)
+        iy = jnp.pad(iy, pad5, constant_values=-10.0)
     ghh, gww = gh + ghp, gw + gwp
-    ix = _patch_tile(ix, ghh, gww)
-    iy = _patch_tile(iy, ghh, gww)
+    ix = _patch_tile(ix.reshape(b * gc, ghh, gww), ghh, gww)
+    iy = _patch_tile(iy.reshape(b * gc, ghh, gww), ghh, gww)
     n_tiles = ix.shape[1]
     gpad = -n_tiles % TG
     if gpad:
@@ -281,21 +302,25 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
         iy = jnp.pad(iy, ((0, 0), (0, gpad), (0, 0), (0, 0)),
                      constant_values=-10.0)
     n_tp = n_tiles + gpad
+    ix = ix.reshape(b, gc, n_tp, ROWS, COLS)
+    iy = iy.reshape(b, gc, n_tp, ROWS, COLS)
     n_groups = n_tp // TG
     tex = jnp.moveaxis(img, -1, 1)  # (B, C, H, W)
 
     prec = "float32" if precision == "float32" else None
     out = pl.pallas_call(
         functools.partial(_kernel, h=hh, w=ww, c=c, hb=hb, wb=wb, hc=hc,
-                          wc=wc, precision=prec),
+                          wc=wc, precision=prec, shared=shared),
         grid=(b, n_groups),
         in_specs=[
             # the source stays in HBM; the kernel DMAs only the blocks it
             # needs (data-dependent offsets are legal for DMAs)
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, TG, ROWS, COLS), lambda i, g: (i, g, 0, 0),
+            pl.BlockSpec((1, gc, TG, ROWS, COLS),
+                         lambda i, g: (i, 0, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TG, ROWS, COLS), lambda i, g: (i, g, 0, 0),
+            pl.BlockSpec((1, gc, TG, ROWS, COLS),
+                         lambda i, g: (i, 0, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, TG, ROWS, COLS),
@@ -307,7 +332,8 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((hc, wc), jnp.float32),          # fallback block
             pltpu.SemaphoreType.DMA,
-            pltpu.SMEM((TG, 3), jnp.int32),             # y0, x0, fits
+            # y0, x0, fits — per tile (shared grids) or per step
+            pltpu.SMEM((TG if shared else TG * c, 3), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             # one bbox block per (tile, channel) for smooth warps
