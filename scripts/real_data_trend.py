@@ -166,6 +166,13 @@ def main(argv=None):
     curve = {}
     for s in steps:
         name = f"real_eval_{s}"
+        # each run stamps a fresh datetime signature: drop stale result dirs
+        # or the metrics CLI's ambiguous-tag assert fires on re-runs
+        import glob as _glob
+        import shutil as _shutil
+
+        for stale in _glob.glob(f"{save_path}/results/*{name}"):
+            _shutil.rmtree(stale, ignore_errors=True)
         print(f"=== eval checkpoint {s} ===", flush=True)
         test_cli.main(["--name", name, *common,
                        "--vid_modes", "vid_prediction",

@@ -113,6 +113,44 @@ def main(argv=None):
             row[impl] = round(ms, 2) if isinstance(ms, float) else ms
         report[name] = {"batch": img.shape[0], **row}
         print(f"{name}: {json.dumps(row)}", flush=True)
+
+    # the alpha_ctx warp's REAL call-site shape since grid_sample_multigrid:
+    # per-layer grids ride the channel axis (B*Tc*Tp, Hd, Wd, No+1)
+    import jax
+    import jax.numpy as jnp
+
+    import waldo_tpu.ops.grid_sample  # noqa: F401
+    gsm = sys.modules["waldo_tpu.ops.grid_sample"]
+    nlay = no + 1
+    mg_img = jnp.asarray(rng.rand(b * tc * tp, hd, wd, nlay).astype(np.float32))
+    mg_grids = jnp.asarray(
+        np.stack([np.asarray(mk(b * tc * tp, hd, wd, 1)[1]) for _ in range(nlay)],
+                 axis=1))
+    row = {}
+    for impl in ("auto", "mxu"):
+        gsm.set_impl(impl)
+        try:
+            def loop(i0, g0):
+                def body(k, acc):
+                    g = g0 + (k.astype(g0.dtype) * 1e-6)
+                    return acc + gsm.grid_sample_multigrid(
+                        i0, g, precision="fast").mean()
+                return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+
+            fn = jax.jit(loop)
+            float(fn(mg_img, mg_grids))
+            t0 = time.perf_counter()
+            v = float(fn(mg_img, mg_grids))
+            assert v == v
+            row["pallas_mg" if impl == "auto" else "folded_mxu"] = round(
+                (time.perf_counter() - t0) / args.iters * 1e3, 2)
+        except Exception as e:
+            row[impl] = f"error: {type(e).__name__}: {e}"
+        finally:
+            gsm.set_impl("auto")
+    name = f"alpha_ctx_multigrid({hd}x{wd} src, {nlay} per-grid planes)"
+    report[name] = {"batch": mg_img.shape[0], **row}
+    print(f"{name}: {json.dumps(row)}", flush=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"written: {args.out}")

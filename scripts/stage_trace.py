@@ -25,6 +25,7 @@ STAGES = (
     "warper/tps_obj", "warper/invert_obj", "warper/tps_bg", "warper/invert_bg",
     "warper/flow_warp", "warper/alpha_ctx_sample", "warper/context_fusion_sample",
     "lvd/encode_input", "lvd/estimate_layer", "lvd/estimate_pose",
+    "lvd/decode_alpha", "wif/fuse_rec", "wif/fuse_pred", "flp/rollout",
 )
 
 
@@ -79,9 +80,13 @@ def main(argv=None):
     fn(params, batch).block_until_ready()  # compile outside the trace
 
     with trace(args.trace_dir):
+        # fetch a scalar INSIDE the trace: under the axon tunnel
+        # block_until_ready() does not synchronize (CLAUDE.md), so without a
+        # value fetch the trace can close before the device work runs
+        acc = 0.0
         for _ in range(3):
-            out = fn(params, batch)
-        out.block_until_ready()
+            acc += float(fn(params, batch).mean())
+        assert acc == acc
 
     report = summarize_trace(args.trace_dir)
     report["geometry"] = f"{args.load_dim}x{args.load_dim * 2}"

@@ -155,8 +155,11 @@ def test_checkpoint_iter_zero_is_not_latest(tmp_path):
     ckpt.save("pe", {"w": np.zeros(3, np.float32)}, 0)
     ckpt.save("pe", {"w": np.ones(3, np.float32)}, 5, name="latest")
 
-    # the evaluator/trainer-side normalization: only None/"" mean latest
-    for which, expect in [("0", 0.0), (None, 1.0), ("", 1.0), ("latest", 1.0)]:
-        norm = "latest" if which in (None, "") else which
-        out = ckpt.restore("pe", {"w": np.full(3, -1, np.float32)}, which=norm)
+    # the shared normalization used by Trainer._maybe_restore and Evaluator
+    from waldo_tpu.train.checkpoint import normalize_which
+
+    for which, expect in [("0", 0.0), (0, 0.0), (None, 1.0), ("", 1.0),
+                          ("latest", 1.0)]:
+        out = ckpt.restore("pe", {"w": np.full(3, -1, np.float32)},
+                           which=normalize_which(which))
         assert float(np.asarray(out["w"])[0]) == expect, (which, out)

@@ -701,16 +701,18 @@ class Synthesizer:
         out = {"real_vid": vid, "rec_vid": rec_vid}
 
         if m.use_ii:
-            out["inp_rec_vid"] = self.wif.apply(params["ii"], raw_output)
+            with annotate("wif/fuse_rec"):
+                out["inp_rec_vid"] = self.wif.apply(params["ii"], raw_output)
 
         if m.use_pg and not m.no_future:
             ctx_mask = jnp.arange(t)[None, :] < ctx_len
             ctx_mask = jnp.broadcast_to(ctx_mask, (b, t))
-            pred_obj, pred_bg, pred_occ = self.flp.apply(
-                params["pg"], p["obj_pose"], p["bg_pose"], p["occ_score"],
-                p["x_obj"], p["x_bg"], p["last_obj"], p["last_bg"], ctx_mask,
-                deterministic=deterministic,
-            )
+            with annotate("flp/rollout"):
+                pred_obj, pred_bg, pred_occ = self.flp.apply(
+                    params["pg"], p["obj_pose"], p["bg_pose"], p["occ_score"],
+                    p["x_obj"], p["x_bg"], p["last_obj"], p["last_bg"], ctx_mask,
+                    deterministic=deterministic,
+                )
             occ2, obj_alpha2, bg_alpha2, grids2 = self.alpha_grid_occ(
                 params["pe"], p["x_obj"], pred_obj, pred_bg, pred_occ
             )
@@ -726,7 +728,8 @@ class Synthesizer:
             pred_vid = jnp.concatenate([vid[:, :ctx_len], pred_output[..., :3]], axis=1)
             out["pred_vid"] = pred_vid
             if m.use_ii:
-                inp_pred = self.wif.apply(params["ii"], raw_output2)
+                with annotate("wif/fuse_pred"):
+                    inp_pred = self.wif.apply(params["ii"], raw_output2)
                 out["inp_pred_vid"] = jnp.concatenate([vid[:, :ctx_len], inp_pred], axis=1)
             out["pred_flow"] = pred_flow
             out["pred_grids"] = grids2

@@ -57,7 +57,7 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float32")
             jax.default_backend() == "tpu"
             and src * c >= (1 << 19)
             and src <= (1 << 22)
-            # small target grids waste the kernel's (16,256)-patch/group
+            # small target grids waste the kernel's patch/group
             # padding and lose to the hat-matmul path anyway (flow_warp_obj
             # row of the bench); huge fold-in batches (training-time
             # B*T*No folds) blow up the kernel's padded layouts

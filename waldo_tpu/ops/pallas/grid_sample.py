@@ -5,29 +5,30 @@ hat(iy_p,y) hat(ix_p,x) tex[y,x,c]) with the work restricted to the source
 rectangle a tile of output pixels actually samples from.
 
 v7 (round 2, shaped by on-chip measurement) — pipelined bounding-box blocks:
-- output pixels are re-tiled host-side into (16, 256) output PATCHES, so a
+- output pixels are re-tiled host-side into (ROWS, COLS) output PATCHES, so a
   kernel tile's source footprint is a small rectangle for the pipeline's
   smooth TPS/flow warps, and per-tile fixed costs amortize over 4096 pixels;
 - each program processes a GROUP of TG tiles x all C channels. Per-tile
   source bounding boxes (from min/max of the sample coordinates) are
   precomputed into SMEM, then a flat (tile, channel) loop runs with
   ping-pong DMA: the next step's source block streams from HBM while the
-  current step's (TILE_P, HB) @ (HB, WB) MXU dot runs. v6 paid a serialized
+  current step's (TILE_P, HB) @ (HB, WB) MXU dot runs (geometry constants
+  below; retuned on-chip from (16,256)/(128,384) to (32,128)/(160,256)). v6 paid a serialized
   compute->scalar->DMA->compute latency chain (~20us) per single-tile
   program; v7 hides it;
 - no (TILE_P, W) buffer ever exists, so VMEM stays small at any source
-  size; tiles whose footprint exceeds the static (HB=128, WB=384) block
+  size; tiles whose footprint exceeds the static (HB, WB) block
   (fast motion, strong TPS zoom) fall back via lax.cond to a generic
   block-culled loop over the whole plane — correctness never depends on the
   bbox fitting. Conservative activation is CORRECT, not just safe: a pixel
   whose iy lies outside a chunk has an all-zero ry row there;
-- coordinates and outputs travel as (16, 256) spatial tiles (Pallas block
+- coordinates and outputs travel as (ROWS, COLS) spatial tiles (Pallas block
   rules require (8k, 128k) minor block dims); the kernel flattens a tile to
   a (TILE_P, 1) column with pltpu.repeat + an iota mask — pure VPU ops.
 
 Mosaic hardware constraints (discovered on-chip; interpret mode hides them):
 - tpu.iota only yields integer vectors — iota int32, then cast to f32;
-- shape casts like (16,256)<->(4096,1) are unsupported inside kernels
+- shape casts like (ROWS,COLS)<->(TILE_P,1) are unsupported inside kernels
   (repeat+mask / masked-dot conversions avoid them);
 - direct VMEM vector loads cannot take data-dependent offsets; block
   fetches go through make_async_copy (DMAs accept them), with
@@ -259,6 +260,11 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     alpha_ctx warp's shape (layers = channels, each with its own flow),
     amortizing program launches C-fold vs C separate single-channel calls."""
     b, h, w, c = img.shape
+    in_dtype = img.dtype
+    if img.dtype != jnp.float32:
+        # the kernel's VMEM scratch and accumulators are f32; bf16 sources
+        # would crash the DMA (dtype-mismatched dynamic_update_slice)
+        img = img.astype(jnp.float32)
     shared = grid.ndim == 4
     if shared:
         grid = grid[:, None]
@@ -348,4 +354,4 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     )(tex, ix, iy)
     out = out[:, :, :n_tiles]
     out = _patch_untile(out, ghh, gww)[:, :, :gh, :gw]
-    return jnp.moveaxis(out, 1, -1).astype(img.dtype)
+    return jnp.moveaxis(out, 1, -1).astype(in_dtype)

@@ -17,6 +17,13 @@ import jax
 import orbax.checkpoint as ocp
 
 
+
+def normalize_which(which):
+    """Map None/"" to "latest"; keep everything else verbatim — `0` (and
+    "0") are valid iteration names and must NOT fall through to latest."""
+    return "latest" if which in (None, "") else str(which)
+
+
 class CheckpointManager:
     def __init__(self, checkpoint_path: str):
         self.root = os.path.abspath(checkpoint_path)

@@ -16,7 +16,7 @@ from ..config import Config
 from ..data import create_dataset, DataLoader
 from ..models import Synthesizer
 from ..parallel import make_mesh, shard_batch, replicate, init_distributed
-from .checkpoint import CheckpointManager
+from .checkpoint import CheckpointManager, normalize_which
 
 
 def save_video_frames(vid: np.ndarray, path: str, fps: int = 4):
@@ -52,9 +52,7 @@ class Evaluator:
         ]:
             if label in params and (load_path is not None):
                 params[label] = self.ckpt.restore(label, params[label],
-                                                  # `0` is a valid iter — only
-                                                  # None/"" mean "latest"
-                                                  which="latest" if which in (None, "") else which,
+                                                  which=normalize_which(which),
                                                   load_path=load_path)
         self.params = replicate(params, self.mesh)
         self._predict = jax.jit(lambda p, b: self.syn.predict(p, b))

@@ -22,7 +22,7 @@ from ..data import create_dataset, DataLoader, InfiniteLoader
 from ..models import Synthesizer
 from ..parallel import make_mesh, shard_batch, replicate, init_distributed, set_active_mesh
 from .train_state import NetState, make_optimizer, train_step_fn
-from .checkpoint import CheckpointManager
+from .checkpoint import CheckpointManager, normalize_which
 from .logger import Logger
 
 MODE_TO_NET = {
@@ -80,8 +80,7 @@ class Trainer:
         for label, load_path, which in specs:
             if label not in params:
                 continue
-            # `0` is a valid iter — only None/"" mean "latest"
-            which = "latest" if which in (None, "") else which
+            which = normalize_which(which)
             try:
                 if load_path or self.cfg.cont_train:
                     params[label] = self.ckpt.restore(
