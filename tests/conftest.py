@@ -15,3 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platform_name", "cpu")
+# CPU compiles dominate the suite's ~40 min runtime; the persistent cache
+# makes warm re-runs much faster (same cache dir as bench.py)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/waldo_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
