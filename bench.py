@@ -89,6 +89,11 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3),
+        # numerics provenance (ADVICE r2): which approximations produced this
+        # number — iterative vs scatter inversion, and the compute dtype
+        "fast_inverse": cfg.model.fast_inverse_warp,
+        "compute_dtype": cfg.compute_dtype,
+        "sample_precision": cfg.model.sample_precision,
     }))
 
 

@@ -204,7 +204,13 @@ def main(argv=None):
 
     out_path = os.path.join(args.root, "real_data_trend.json")
     with open(out_path, "w") as f:
-        json.dump({"iters": iters, "save_freq": save_freq, "curve": curve}, f,
+        json.dump({"iters": iters, "save_freq": save_freq, "curve": curve,
+                   # numerics provenance (VERDICT r2 weak #1): without
+                   # converted LPIPS weights in this image, WIF optimizes
+                   # sharp_vid (L1) only — NOT the reference's L1+LPIPS
+                   "wif_objective": "L1-only (no LPIPS weights in this env)",
+                   "warper_fix": "alpha_to_alpha occ-product gather "
+                                 "(round-3 parity fix) active"}, f,
                   indent=2)
     print("\n=== real-data trend (cum past ctx, predicted frames only) ===")
     print(f"{'step':>8} | {'ssim':>7} {'psnr':>7} {'msssim':>7} (inp_pred_vid)")

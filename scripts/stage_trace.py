@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 STAGES = (
     "warper/tps_obj", "warper/invert_obj", "warper/tps_bg", "warper/invert_bg",
     "warper/flow_warp", "warper/alpha_ctx_sample", "warper/context_fusion_sample",
+    "warper/occ_product_frame", "warper/occ_product_pred", "warper/flow_reduce",
+    "warper/flow_upsample", "warper/alpha_upsample", "warper/lyt_refine",
+    "warper/fuse_score",
     "lvd/encode_input", "lvd/estimate_layer", "lvd/estimate_pose",
     "lvd/decode_alpha", "wif/fuse_rec", "wif/fuse_pred", "flp/rollout",
 )

@@ -120,3 +120,147 @@ def test_cityscapes_demo_data_loads_and_trains_one_step():
                                             jax.random.PRNGKey(1),
                                             jnp.float32(0))
     assert np.isfinite(float(loss)), float(loss)
+
+
+def _write_fixture_videos(root, n_vids=2, frames=12, h=40, w=64):
+    import os
+
+    from waldo_tpu.data import write_mjpeg_avi
+
+    rng = np.random.RandomState(0)
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    paths = []
+    for i in range(n_vids):
+        vid = rng.randint(0, 255, (frames, h, w, 3)).astype(np.uint8)
+        # smooth frames compress/decompress more faithfully
+        vid = (vid.astype(np.float32) * 0.2 + 100).astype(np.uint8)
+        p = os.path.join(root, "train", f"clip{i}.avi")
+        write_mjpeg_avi(p, vid, fps=8)
+        paths.append(p)
+    return paths
+
+
+def test_mjpeg_avi_roundtrip(tmp_path):
+    """Writer -> pure-Python RIFF reader: frame count, shape, approximate
+    pixel fidelity (JPEG-lossy)."""
+    from waldo_tpu.data import open_video, write_mjpeg_avi
+
+    rng = np.random.RandomState(1)
+    # smooth gradient content (JPEG-friendly)
+    t, h, w = 6, 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    vid = np.stack([((yy * 3 + xx * 2 + 17 * k) % 256) for k in range(t)])
+    vid = np.repeat(vid[..., None], 3, -1).astype(np.uint8)
+    p = str(tmp_path / "v.avi")
+    write_mjpeg_avi(p, vid, fps=4, quality=97)
+    r = open_video(p)
+    assert r.num_frames == t
+    got = r.read(1, 3)
+    assert got.shape == (3, h, w, 3)
+    assert np.abs(got.astype(float) - vid[1:4].astype(float)).mean() < 6.0
+
+
+def test_video_clip_index_and_metadata_cache(tmp_path):
+    """VideoClips-equivalent indexing + metadata pkl cache with path-change
+    invalidation (reference base_dataset.py:44-63)."""
+    import os
+    import pickle
+
+    from waldo_tpu.data.video import load_or_build_clip_index
+
+    paths = _write_fixture_videos(str(tmp_path), n_vids=2, frames=10)
+    cache = str(tmp_path / "meta.pkl")
+    idx = load_or_build_clip_index(paths, clip_len=4, frames_between_clips=2,
+                                   cache_path=cache)
+    # 10 frames, len 4, step 2 -> starts 0,2,4,6 per video
+    assert idx.num_clips() == 8
+    clip = idx.get_clip(0)
+    assert clip.shape[0] == 4 and clip.dtype == np.uint8
+    assert os.path.exists(cache)
+
+    # cache reuse: poison num_frames, index must trust the cache
+    with open(cache, "rb") as f:
+        meta = pickle.load(f)
+    meta["num_frames"] = [6, 6]
+    with open(cache, "wb") as f:
+        pickle.dump(meta, f)
+    idx2 = load_or_build_clip_index(paths, 4, 2, cache)
+    assert idx2.num_clips() == 4  # (6-4)/2+1 = 2 per video
+
+    # path-change invalidation: different path list -> recompute + rewrite
+    idx3 = load_or_build_clip_index(paths[:1], 4, 2, cache)
+    assert idx3.metadata["video_paths"] == paths[:1]
+    with open(cache, "rb") as f:
+        assert pickle.load(f)["video_paths"] == paths[:1]
+
+
+def test_video_folder_dataset(tmp_path):
+    """End-to-end from_vid branch: scan -> clip index -> augmented clips."""
+    from waldo_tpu.config import Config, DataConfig, ModelConfig
+    from waldo_tpu.data import create_dataset
+
+    _write_fixture_videos(str(tmp_path), n_vids=2, frames=10)
+    cfg = Config(
+        dim=32,
+        aspect_ratio=2.0,
+        data=DataConfig(dataset="video_folder", dataroot=str(tmp_path),
+                        vid_len=5, load_lyt=False, load_flow=False,
+                        from_vid=True, vid_skip=3, num_workers=0),
+        model=ModelConfig(),
+    )
+    ds = create_dataset(cfg, phase="train")
+    assert len(ds) == 4  # 10 frames, len 5, step 3 -> starts 0,3 per video
+    item = ds[0]
+    assert item["vid"].shape == (5, 32, 64, 3)
+    assert item["vid"].min() >= -1.0001 and item["vid"].max() <= 1.0001
+    # metadata cache was written next to the data
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "train_metadata.pkl"))
+
+
+def test_data_pkl_cache_roundtrip(tmp_path):
+    """save_data/load_data clip-index cache (reference base_dataset.py:29-37):
+    a reload must not re-scan the tree (we delete it to prove that)."""
+    import os
+    import shutil
+
+    import PIL.Image
+
+    from waldo_tpu.config import Config, DataConfig, ModelConfig
+    from waldo_tpu.data import create_dataset
+
+    # minimal cityscapes-like tree: city/seq frames
+    root = str(tmp_path / "cs")
+    frames = os.path.join(root, "leftImg8bit_sequence_64", "train", "city")
+    os.makedirs(frames)
+    rng = np.random.RandomState(0)
+    for seq in ("000000", "000001"):  # two seqs: the 0.9 train cut keeps one
+        for i in range(30):
+            arr = rng.randint(0, 255, (64, 128, 3), np.uint8)
+            PIL.Image.fromarray(arr).save(
+                os.path.join(frames, f"city_{seq}_{i:06d}_leftImg8bit.png"))
+
+    cfg = Config(
+        dim=32, aspect_ratio=2.0, true_dim=64,
+        data=DataConfig(dataset="cityscapes", dataroot=root, num_lyt=6,
+                        vid_len=5, load_lyt=False, load_flow=False,
+                        save_data=True, num_workers=0),
+        model=ModelConfig(),
+    )
+    ds = create_dataset(cfg, phase="train")
+    n = len(ds)
+    assert n >= 1
+    assert os.path.exists(os.path.join(root, "train_data.pkl"))
+
+    # delete the frame TREE listing ability (rename) and reload from cache
+    cfg2 = Config(
+        dim=32, aspect_ratio=2.0, true_dim=64,
+        data=DataConfig(dataset="cityscapes", dataroot=root, num_lyt=6,
+                        vid_len=5, load_lyt=False, load_flow=False,
+                        load_data=True, num_workers=0),
+        model=ModelConfig(),
+    )
+    ds2 = create_dataset(cfg2, phase="train")
+    assert len(ds2) == n
+    assert ds2.data["vid_frame_paths"] == ds.data["vid_frame_paths"]

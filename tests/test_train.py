@@ -103,6 +103,30 @@ def test_evaluator_predict_and_dump(tmp_path):
     assert len(dumped) >= 1
 
 
+def test_trainer_emits_visuals(tmp_path):
+    """TB event files must contain image/video summaries at log_freq
+    (reference synthesizer.py:241-282 behavior, wired via
+    Synthesizer.visuals -> Logger.log_visuals)."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+
+    from waldo_tpu.train import Trainer
+
+    cfg = train_cfg(tmp_path)
+    tr = Trainer(cfg)
+    tr.run(num_iter=1)
+    tr.logger.close()
+    acc = EventAccumulator(cfg.log_path, size_guidance={"images": 0})
+    acc.Reload()
+    img_tags = acc.Tags().get("images", [])
+    # videos are logged as image summaries (grids) by add_video
+    assert any("rec_vid" in t for t in img_tags), img_tags
+    assert any("real_vid" in t for t in img_tags), img_tags
+    assert any("rec_flow" in t for t in img_tags), img_tags
+    assert any("rec_obj_lyt" in t for t in img_tags), img_tags
+    assert any("/pts" in t or "/mot" in t for t in img_tags), img_tags
+
+
 def test_nonstrict_restore_changed_head(tmp_path):
     """Reference models/__init__.py:27-45 semantics: restoring into a model
     with a changed head prunes the mismatched leaves and keeps everything

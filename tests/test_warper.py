@@ -70,6 +70,8 @@ def test_occlusion_product_bounds_and_bg_rule():
 def test_input_to_output_single_ctx_identity_flow():
     """Zero flow + full alpha: fused output equals the context frame."""
     w, cfg = make_warper()
+    cfg.model.sample_precision = "float32"  # exact-identity check
+    w = Warper(cfg)
     b, tc, tp = 1, 2, 3
     h, wd = 32, 64
     rng = np.random.RandomState(2)
@@ -82,3 +84,43 @@ def test_input_to_output_single_ctx_identity_flow():
     expected = (np.asarray(x)[:, 0] + np.asarray(x)[:, 1]) / 2
     assert np.allclose(np.asarray(out)[..., :5][:, 0], expected, atol=1e-5)
     assert raw.shape == (b, tc, tp, h, wd, 5 + 3)
+
+
+def test_grid_to_flow_hd_window_is_exact():
+    """hd_window slices per-frame HD work to the gathered frames; the
+    gathered outputs (flow/alpha_ctx/disocc and the fused output) must be
+    bit-identical to the full-window computation."""
+    w, cfg = make_warper(num_obj=2)
+    cfg.load_dim = 64  # exercise the HD upsample path (scale_hd = 2)
+    w2 = Warper(cfg)
+    rng = np.random.RandomState(0)
+    b, t, tc, tp = 1, 3, 2, 2
+    no = 2
+    h, wd = 32, 64
+    hd, wdd = 64, 128
+    ho, wo = w2.tgt_shape
+    grids = WarpGrids(
+        jnp.asarray(rng.rand(b, t, no, ho, wo, 2) * 2 - 1, jnp.float32),
+        jnp.asarray(rng.rand(b, t, no, h, wd, 2) * 2 - 1, jnp.float32),
+        jnp.asarray(rng.rand(b, t, h, wd, 2) * 2 - 1, jnp.float32),
+        jnp.asarray(rng.rand(b, t, h, wd, 2) * 2 - 1, jnp.float32),
+    )
+    x = jnp.asarray(rng.rand(b, t, hd, wdd, 3 + 4) * 2 - 1, jnp.float32)
+    occ = jnp.asarray(rng.rand(b, t, no + 1, no + 1), jnp.float32)
+    obj_alpha = jnp.asarray(rng.rand(b, no, ho, wo, 1) * 2 - 1, jnp.float32)
+    bg_alpha = jnp.asarray(rng.rand(b, h, wd, 1) * 2 - 1, jnp.float32)
+    cls = jnp.asarray(rng.rand(b, no, 4), jnp.float32)
+    ctx_ts = jnp.broadcast_to(jnp.arange(tc)[None, :, None], (b, tc, tp))
+    pred_ts = jnp.arange(t - tp, t)
+
+    full = w2.grid_to_flow(x, grids, occ, obj_alpha, bg_alpha, cls,
+                           ctx_ts, pred_ts)
+    sliced = w2.grid_to_flow(x, grids, occ, obj_alpha, bg_alpha, cls,
+                             ctx_ts, pred_ts, hd_window=tc)
+    # flow, alpha_ctx, disocc identical (alpha/alpha_unflt legitimately
+    # carry only tc frames in the sliced call)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(sliced[0]))
+    np.testing.assert_array_equal(np.asarray(full[3]), np.asarray(sliced[3]))
+    np.testing.assert_array_equal(np.asarray(full[4]), np.asarray(sliced[4]))
+    np.testing.assert_array_equal(np.asarray(full[1][:, :tc]),
+                                  np.asarray(sliced[1]))

@@ -43,6 +43,13 @@ class DataConfig:
     load_flow: bool = True
     load_all: bool = False
     one_every_n: int = 1
+    # video-file branch + dataset caches (reference base_dataset.py:29-70)
+    from_vid: bool = False
+    vid_skip: int = 1
+    load_data: bool = False
+    save_data: bool = False
+    data_specs: Optional[str] = None
+    force_compute_metadata: bool = False
     # augmentation
     no_h_flip: bool = True
     no_v_flip: bool = True
@@ -170,6 +177,11 @@ class ModelConfig:
     ii_embed_dim: int = 512
     ii_score: bool = True
     ii_ab: bool = True
+    # reproduce the reference's gate-from-input-channel defect (wif.py:53)
+    # exactly — needed when running converted reference checkpoints, since
+    # those were *trained* with that gate. Default: our fixed gate (UNet's
+    # 5th output channel, the evident intent of wif.py:22).
+    ii_ref_gate: bool = False
     loop_ii: bool = False
     no_future: bool = False
 
@@ -439,6 +451,21 @@ def _coerce(current, raw: str):
     return raw
 
 
+def _truthy(raw: Optional[str]) -> bool:
+    return raw is not None and raw.lower() in ("1", "true", "yes")
+
+
+def _find_run_config(save_path: str, name: str) -> Optional[str]:
+    """Locate a run's saved config.json by name, newest first (the reference
+    finds continued runs via the `*-{name}` glob, models/__init__.py:96)."""
+    import glob as _glob
+
+    hits = _glob.glob(os.path.join(save_path, "checkpoints", f"*-{name}", "config.json"))
+    hits += _glob.glob(os.path.join(save_path, "checkpoints", name, "config.json"))
+    hits = [h for h in hits if os.path.isfile(h)]
+    return max(hits, key=os.path.getmtime) if hits else None
+
+
 def parse_cli(argv: Optional[List[str]] = None, base: Optional[Config] = None) -> Config:
     """Parse `--key value` overrides onto a Config.
 
@@ -467,6 +494,16 @@ def parse_cli(argv: Optional[List[str]] = None, base: Optional[Config] = None) -
 
     if "config" in kv:
         cfg = load_config(kv.pop("config"))
+    elif _truthy(kv.get("cont_train")):
+        # automatic re-defaulting from the continued run's saved snapshot
+        # (reference tools/options.py:659-719 update_options_from_file):
+        # `--cont_train --name x` relaunches with the original run's full
+        # config — including its datetime, so checkpoints continue in place —
+        # while explicit CLI flags still override below
+        snap = _find_run_config(kv.get("save_path", cfg.save_path),
+                                kv.get("name", cfg.name))
+        if snap:
+            cfg = load_config(snap)
     if "dataset" in kv:
         cfg.data.dataset = kv.pop("dataset")
         apply_dataset_defaults(cfg)

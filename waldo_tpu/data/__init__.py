@@ -5,6 +5,8 @@ from .base import BaseVideoDataset, make_dataset
 from .cityscapes import CityscapesDataset
 from .kitti import KittiDataset
 from .synthetic import SyntheticDataset
+from .video_folder import VideoFolderDataset
+from .video import write_mjpeg_avi, open_video, VideoClipIndex
 from .loader import DataLoader, InfiniteLoader, collate
 from .flo import read_flo, write_flo
 
@@ -12,6 +14,7 @@ _REGISTRY = {
     "cityscapes": CityscapesDataset,
     "kitti": KittiDataset,
     "synthetic": SyntheticDataset,
+    "video_folder": VideoFolderDataset,
 }
 
 

@@ -29,9 +29,18 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp")
 
 
 def make_dataset(directory: str, recursive: bool = True) -> List[str]:
-    """Recursive image-file scan (reference data/folder_dataset.py:34-62)."""
+    """Recursive image-file scan (reference data/folder_dataset.py:34-62).
+
+    Follows directory symlinks (the trend harness builds symlink farms) but
+    tracks visited realpaths so cycles terminate and no sample duplicates."""
     paths = []
-    for root, _dirs, files in sorted(os.walk(directory, followlinks=True)):
+    seen = set()
+    for root, dirs, files in sorted(os.walk(directory, followlinks=True)):
+        real = os.path.realpath(root)
+        if real in seen:
+            dirs[:] = []
+            continue
+        seen.add(real)
         for f in sorted(files):
             if f.lower().endswith(IMG_EXTENSIONS):
                 paths.append(os.path.join(root, f))
@@ -101,11 +110,44 @@ class BaseVideoDataset:
         self.frame_folder = None
         self.layout_folder = None
         self.flow_folder = None
-        self.data = self.get_data(cfg, phase)
+        # clip-index pickle cache (reference base_dataset.py:29-37): skip the
+        # recursive path scan on reload when load_data is set
+        data_path = self.serialized_path("data", phase, fold)
+        if cfg.data.load_data and data_path and os.path.exists(data_path):
+            import pickle
+
+            with open(data_path, "rb") as f:
+                blob = pickle.load(f)
+            self.data = blob["data"]
+            self.frame_folder = blob.get("frame_folder")
+            self.layout_folder = blob.get("layout_folder")
+            self.flow_folder = blob.get("flow_folder")
+        else:
+            self.data = self.get_data(cfg, phase)
+            if cfg.data.save_data and data_path:
+                import pickle
+
+                os.makedirs(os.path.dirname(data_path) or ".", exist_ok=True)
+                with open(data_path, "wb") as f:
+                    pickle.dump({"data": self.data,
+                                 "frame_folder": self.frame_folder,
+                                 "layout_folder": self.layout_folder,
+                                 "flow_folder": self.flow_folder}, f)
         self._full_clips = self.data["vid_frame_paths"]
         self.num_folds = num_folds
         if num_folds:
             self.set_fold(fold or 0)
+
+    def serialized_path(self, kind: str, phase: str, fold=None) -> Optional[str]:
+        """Cache-file naming (reference base_dataset.py:76-86)."""
+        d = self.cfg.data
+        if not d.dataroot:
+            return None
+        specs = f"{d.data_specs}_" if d.data_specs else ""
+        if fold is not None:
+            return os.path.join(d.dataroot, "folds",
+                                f"{specs}{fold}_{phase}_{kind}.pkl")
+        return os.path.join(d.dataroot, f"{specs}{phase}_{kind}.pkl")
 
     def set_fold(self, fold: int):
         """Select an interleaved shard of the clip index
@@ -164,6 +206,14 @@ class BaseVideoDataset:
             a = a[::-1]
         return np.ascontiguousarray(a)
 
+    def rgb_from_array(self, raw: np.ndarray, aug: AugmentParams) -> np.ndarray:
+        """uint8 (H, W, 3) -> augmented float (dim, dim*ar, 3) in [-1, 1]."""
+        img = raw.astype(np.float32) / 255.0
+        if aug.jitter is not None:
+            img = _color_jitter(img, *aug.jitter)
+        img = self._spatial(img, aug)
+        return img * 2.0 - 1.0
+
     def load_rgb(self, path: str, aug: AugmentParams) -> np.ndarray:
         from . import native
 
@@ -174,11 +224,7 @@ class BaseVideoDataset:
                                        aug.h_crop, aug.w_crop, size[0], size[1],
                                        flip_x=aug.v_flip, flip_y=aug.h_flip)
             return out
-        img = raw.astype(np.float32) / 255.0
-        if aug.jitter is not None:
-            img = _color_jitter(img, *aug.jitter)
-        img = self._spatial(img, aug)
-        return img * 2.0 - 1.0
+        return self.rgb_from_array(raw, aug)
 
     def load_layout(self, path: str, aug: AugmentParams) -> np.ndarray:
         from . import native

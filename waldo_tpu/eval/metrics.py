@@ -97,7 +97,7 @@ def ms_ssim(a, b, max_val=1.0, weights=_MSSSIM_WEIGHTS):
 
 
 def load_video(path):
-    """mp4 (or frame folder) -> (T, H, W, 3) float in [0, 1]."""
+    """mp4/avi (or frame folder) -> (T, H, W, 3) float in [0, 1]."""
     if os.path.isdir(path):
         import PIL.Image
 
@@ -106,6 +106,11 @@ def load_video(path):
             for p in sorted(glob(os.path.join(path, "*.png")))
         ]
         return np.stack(frames) / 255.0
+    if path.lower().endswith(".avi"):
+        from ..data.video import open_video
+
+        r = open_video(path)
+        return r.read(0, r.num_frames) / 255.0
     import imageio.v2 as imageio
 
     return np.stack(imageio.mimread(path, memtest=False)) / 255.0
@@ -163,7 +168,8 @@ def main(argv=None):
     root = folders[0]
 
     def vid_files(folder):
-        files = sorted(glob(os.path.join(root, folder, "*.mp4")))
+        files = sorted(glob(os.path.join(root, folder, "*.mp4"))
+                       + glob(os.path.join(root, folder, "*.avi")))
         return files or sorted(
             p for p in glob(os.path.join(root, folder, "*")) if os.path.isdir(p)
         )
@@ -176,29 +182,47 @@ def main(argv=None):
     args.metrics = [m for m in args.metrics if m not in ("fid", "fvd")]
     dist_results = {}
     if dist_metrics:
+        import sys
+
         from .frechet import fid_videos, fvd_proxy
         from .inception import InceptionExtractor, random_extractor
 
-        ex = InceptionExtractor.maybe_load()
-        if ex is None:
-            import sys
-
-            print(
-                "WARNING: no converted Inception weights at "
-                f"{InceptionExtractor.weights_path()} — using a seeded "
-                "random-init extractor. Distances are RELATIVE-ONLY and "
-                "reported as rfid/rfvd_proxy, not FID/FVD. Convert with "
-                "waldo_tpu.eval.inception.convert_inception_weights.",
-                file=sys.stderr, flush=True,
-            )
-            ex = random_extractor()
         real_vids = [load_video(p) for p in real_files]
         fake_vids = [load_video(p) for p in fake_files]
-        prefix = "" if ex.name == "fid" else "r"
         if "fid" in dist_metrics:
+            ex = InceptionExtractor.maybe_load()
+            if ex is None:
+                print(
+                    "WARNING: no converted Inception weights at "
+                    f"{InceptionExtractor.weights_path()} — using a seeded "
+                    "random-init extractor. Distances are RELATIVE-ONLY and "
+                    "reported as rfid, not FID. Convert with "
+                    "waldo_tpu.eval.inception.convert_inception_weights.",
+                    file=sys.stderr, flush=True,
+                )
+                ex = random_extractor()
+            prefix = "" if ex.name == "fid" else "r"
             dist_results[f"{prefix}fid"] = fid_videos(ex, real_vids, fake_vids)
         if "fvd" in dist_metrics:
-            dist_results[f"{prefix}fvd_proxy"] = fvd_proxy(ex, real_vids, fake_vids)
+            # true FVD via I3D video features when converted weights exist
+            # (eval/i3d.py); honest frame-Inception proxy otherwise
+            from .i3d import I3DExtractor, fvd as i3d_fvd
+
+            vex = I3DExtractor.maybe_load()
+            if vex is not None:
+                dist_results["fvd"] = i3d_fvd(vex, real_vids, fake_vids)
+            else:
+                print(
+                    "WARNING: no converted I3D weights at "
+                    f"{I3DExtractor.weights_path()} — reporting the "
+                    "frame-Inception proxy rfvd_proxy, NOT comparable to "
+                    "published FVD. Convert with "
+                    "waldo_tpu.eval.i3d.convert_i3d_weights.",
+                    file=sys.stderr, flush=True,
+                )
+                ex = InceptionExtractor.maybe_load() or random_extractor()
+                prefix = "" if ex.name == "fid" else "r"
+                dist_results[f"{prefix}fvd_proxy"] = fvd_proxy(ex, real_vids, fake_vids)
         for k, v in dist_results.items():
             print(f"[{k}] : {v:.4f}")
 

@@ -203,7 +203,7 @@ class Synthesizer:
         return obj, bg, output_alpha
 
     def decode_output(self, real_input, grids, occ, obj_alpha, bg_alpha, cls,
-                      ctx_ts, pred_ts, restrict_to_ctx=None):
+                      ctx_ts, pred_ts, restrict_to_ctx=None, hd_window=None):
         """reference lvd.py:141-153."""
         m = self.cfg.model
         if restrict_to_ctx is None:
@@ -211,7 +211,7 @@ class Synthesizer:
         with annotate("warper/grid_to_flow"):
             flow, alpha_unflt, alpha, alpha_ctx, disocc = self.warper.grid_to_flow(
                 real_input, grids, occ, obj_alpha, bg_alpha, cls, ctx_ts, pred_ts,
-                restrict_to_ctx=restrict_to_ctx,
+                restrict_to_ctx=restrict_to_ctx, hd_window=hd_window,
             )
         with annotate("warper/input_to_output"):
             output, raw_output = self.warper.input_to_output(real_input, alpha_ctx, flow, ctx_ts)
@@ -587,7 +587,8 @@ class Synthesizer:
         pred_ts = jnp.arange(ctx_len, t)
         out = jax.lax.stop_gradient(
             self.decode_output(decode_input, grids, occ, obj_alpha, bg_alpha,
-                               p["cls"], ctx_ts, pred_ts, restrict_to_ctx=False)
+                               p["cls"], ctx_ts, pred_ts, restrict_to_ctx=False,
+                               hd_window=ctx_len)
         )
         rec_output, raw_output = out[0], out[5]
         rec_vid = rec_output[..., :3]
@@ -638,6 +639,98 @@ class Synthesizer:
         metrics["loss"] = nll
         return nll, metrics
 
+    # ------------------------------------------------------------------
+    # visual observability (reference synthesizer.py:205-282, 329-415,
+    # 560-585: every log_freq the reference emits reconstructions, alpha
+    # layers, flows and control-point poses; this is the jittable tensor
+    # side — rendering (HSV flow, palettes, scatter/quiver) happens in
+    # train/logger.py on host)
+    # ------------------------------------------------------------------
+
+    def visuals(self, mode, params, batch, rng):
+        """Returns (arrays, pts): arrays maps "kind/name" -> tensor with kind
+        in {vid, img, flow, obj_lyt, sem_lyt}; pts maps name -> pose tensors
+        for host-side scatter/quiver rendering."""
+        cfg, m = self.cfg, self.cfg.model
+        vid, lyt, flow = batch["vid"], batch["lyt"], batch["flow"]
+        b, t = vid.shape[:2]
+        ctx_len = m.ctx_len
+
+        real_input = self.make_input(vid, lyt, flow)
+        p = self.lvd_pass(params["pe"], real_input, ctx_len)
+        occ, obj_alpha, bg_alpha, grids = self.alpha_grid_occ(
+            params["pe"], p["x_obj"], p["obj_pose"], p["bg_pose"], p["occ_score"]
+        )
+        decode_input = jnp.concatenate([vid, lyt], axis=-1)
+        arrays = {"vid/real_vid": vid, "sem_lyt/sem_lyt": lyt}
+        pts = {"obj_pts": p["obj_pose"], "bg_pts": p["bg_pose"]}
+
+        if mode in ("vid_object_extractor", "img_object_extractor"):
+            ctx_ts = self._ctx_ts(b, t, rng)
+            pred_ts = jnp.arange(t)
+            rec_output, flow_full, alpha_unflt, alpha_flt, _ra, _raw, _a = (
+                self.decode_output(decode_input, grids, occ, obj_alpha, bg_alpha,
+                                   p["cls"], ctx_ts, pred_ts, restrict_to_ctx=False)
+            )
+            if m.ctx_mode == "full":
+                idx = jnp.arange(t - 1)
+                rec_flow = flow_full[:, :, 1:][:, idx, idx]
+            else:
+                rec_flow = flow_full[:, 0, 1:]
+            arrays["vid/rec_vid"] = rec_output[..., :3]
+            arrays["flow/real_flow"] = flow
+            arrays["flow/rec_flow"] = rec_flow
+            arrays["obj_lyt/rec_obj_lyt"] = alpha_unflt
+            arrays["obj_lyt/rec_obj_lyt_flt"] = alpha_flt
+            return arrays, pts
+
+        if mode == "vid_pose_generator":
+            ctx_mask = jnp.broadcast_to(jnp.arange(t)[None, :] < ctx_len, (b, t))
+            pred_obj, pred_bg, pred_occ = self.flp.apply(
+                params["pg"], p["obj_pose"], p["bg_pose"], p["occ_score"],
+                p["x_obj"], p["x_bg"], p["last_obj"], p["last_bg"], ctx_mask,
+            )
+            occ2, obj_alpha2, bg_alpha2, grids2 = self.alpha_grid_occ(
+                params["pe"], p["x_obj"], pred_obj, pred_bg, pred_occ
+            )
+            ctx_ts = jnp.broadcast_to(
+                jnp.arange(ctx_len)[None, :, None], (b, ctx_len, t - ctx_len))
+            pred_ts = jnp.arange(ctx_len, t)
+            pred_output, _, _, alpha2, _, _, _ = self.decode_output(
+                decode_input, grids2, occ2, obj_alpha2, bg_alpha2, p["cls"],
+                ctx_ts, pred_ts, restrict_to_ctx=m.restrict_to_ctx)
+            rec_output, _, _, rec_alpha, _, _, _ = self.decode_output(
+                decode_input, grids, occ, obj_alpha, bg_alpha, p["cls"],
+                ctx_ts, pred_ts, restrict_to_ctx=m.restrict_to_ctx)
+            # (visual path: alpha maps shown over the ctx window only)
+            arrays["vid/pred_vid"] = jnp.concatenate(
+                [vid[:, :ctx_len], pred_output[..., :3]], axis=1)
+            arrays["vid/rec_vid"] = jnp.concatenate(
+                [vid[:, :ctx_len], rec_output[..., :3]], axis=1)
+            arrays["obj_lyt/pred_obj_lyt"] = alpha2
+            arrays["obj_lyt/rec_obj_lyt"] = rec_alpha
+            pts["pred_obj_pts"] = pred_obj
+            pts["pred_bg_pts"] = pred_bg
+            return arrays, pts
+
+        if mode == "vid_inpainting":
+            ctx_ts = jnp.broadcast_to(
+                jnp.arange(ctx_len)[None, :, None], (b, ctx_len, t - ctx_len))
+            pred_ts = jnp.arange(ctx_len, t)
+            rec_output, _, _, _, _, raw_output, alpha_ctx = self.decode_output(
+                decode_input, grids, occ, obj_alpha, bg_alpha, p["cls"],
+                ctx_ts, pred_ts, restrict_to_ctx=False, hd_window=ctx_len)
+            inp = self.wif.apply(params["ii"], raw_output)
+            arrays["vid/rec_vid"] = rec_output[..., :3]
+            arrays["vid/inp_vid"] = inp
+            # warp coverage: max over ctx of summed layer alphas (ref wif
+            # mask logic, wif.py:63-65), in [-1,1] grayscale
+            cov = ((alpha_ctx + 1) / 2).sum(-1, keepdims=True).max(axis=1)
+            arrays["vid/coverage"] = jnp.clip(cov, 0, 1) * 2 - 1
+            return arrays, pts
+
+        raise ValueError(mode)
+
     def discriminate_loss(self, id_params, ii_params, pe_params, batch, rng, global_iter):
         """Discriminator step (reference synthesizer.py:640-678)."""
         m = self.cfg.model
@@ -668,7 +761,8 @@ class Synthesizer:
         )
         pred_ts = jnp.arange(ctx_len, t)
         out = self.decode_output(decode_input, grids, occ, obj_alpha, bg_alpha,
-                                 p["cls"], ctx_ts, pred_ts, restrict_to_ctx=False)
+                                 p["cls"], ctx_ts, pred_ts, restrict_to_ctx=False,
+                                 hd_window=ctx_len)
         return self.wif.apply(ii_params, out[5])[:, 0]
 
     # ------------------------------------------------------------------
@@ -695,7 +789,7 @@ class Synthesizer:
         pred_ts = jnp.arange(t)
         rec_output, _, _, _, _, raw_output, alpha_ctx = self.decode_output(
             decode_input, grids, occ, obj_alpha, bg_alpha, p["cls"], ctx_ts, pred_ts,
-            restrict_to_ctx=m.restrict_to_ctx,
+            restrict_to_ctx=m.restrict_to_ctx, hd_window=ctx_len,
         )
         rec_vid = rec_output[..., :3]
         out = {"real_vid": vid, "rec_vid": rec_vid}
@@ -723,7 +817,8 @@ class Synthesizer:
             pred_output, pred_flow, _, alpha2, _, raw_output2, alpha_ctx2 = (
                 self.decode_output(decode_input, grids2, occ2, obj_alpha2, bg_alpha2,
                                    p["cls"], ctx_ts2, pred_ts2,
-                                   restrict_to_ctx=m.restrict_to_ctx)
+                                   restrict_to_ctx=m.restrict_to_ctx,
+                                   hd_window=ctx_len)
             )
             pred_vid = jnp.concatenate([vid[:, :ctx_len], pred_output[..., :3]], axis=1)
             out["pred_vid"] = pred_vid

@@ -153,14 +153,17 @@ class Warper:
     # ---- occlusion-aware alpha projection (reference lvd.py:561-573) ----
 
     @staticmethod
-    def occlusion_product(alpha, occ):
+    def occlusion_product(alpha, occ, dtype=None):
         """alpha (B,T,I,H,W,1) in [0,1], occ (B,T,I,J) ->
         (B,T,J,H,W,1): prod_i (1 - alpha_i * occ[i, j]).
 
-        Written so XLA fuses the broadcast into the product reduction."""
+        Written so XLA fuses the broadcast into the product reduction.
+        `dtype=bfloat16` halves the VPU cost (alphas tolerate ~4e-3)."""
         a = alpha[:, :, :, None]  # B T I 1 H W 1
         o = occ[:, :, :, :, None, None, None]  # B T I J 1 1 1
-        return jnp.prod(1.0 - a * o, axis=2)  # B T J H W 1
+        if dtype is not None:
+            a, o = a.astype(dtype), o.astype(dtype)
+        return jnp.prod(1.0 - a * o, axis=2).astype(alpha.dtype)  # B T J H W 1
 
     def alpha_to_alpha(self, obj_alpha, bg_alpha, grids, occ):
         b, t = grids.src_obj.shape[:2]
@@ -170,7 +173,10 @@ class Warper:
         out = (out + 1.0) / 2.0
         occp = self.occlusion_product(out, occ)
         out = occp * out
-        obj_occ, bg_occ = self.layer_from_input(out, grids)
+        # gather the occlusion *product* back into layer frames (lvd.py:571
+        # samples `occ`, not the occluded alpha) — caught by the torch-oracle
+        # parity test; the previous code sampled `out` here
+        obj_occ, bg_occ = self.layer_from_input(occp, grids)
         obj_alpha2 = obj_occ * (obj_alpha + 1.0) - 1.0
         bg_alpha2 = bg_occ * (bg_alpha + 1.0) - 1.0
         return obj_alpha2, bg_alpha2, out
@@ -179,7 +185,7 @@ class Warper:
 
     def grid_to_flow(
         self, x, grids: WarpGrids, occ, obj_alpha, bg_alpha, cls, ctx_ts, pred_ts,
-        restrict_to_ctx=False,
+        restrict_to_ctx=False, hd_window=None,
     ):
         """Dense ctx->pred flow per layer, occlusion-merged.
 
@@ -188,6 +194,15 @@ class Warper:
         cls: (B,No,Nl) or None; ctx_ts (B,Tc,Tp) int; pred_ts (Tp,) int
         returns flow (B,Tc,Tp,Hd,Wd,2), alpha_unflt/alpha (B,T*,Hd,Wd,No+1),
         alpha_ctx (B,Tc,Tp,Hd,Wd,No+1), disocc (B,Tc,Tp,Hd,Wd,1)
+
+        hd_window: when ctx_ts only references frames [0, hd_window), the
+        per-frame HD work (layout refinement, alpha upsample, frame
+        occlusion product) is sliced to those frames BEFORE the expensive
+        HD ops — bit-identical outputs on the gathered frames, but the
+        window statistics (mean_lyt_win) still span the full window like
+        the reference. `predict` passes ctx_len (inference gathers only
+        context frames); the losses pass None (they read alpha/alpha_unflt
+        over the full window).
         """
         b, t = x.shape[:2]
         tc, tp = ctx_ts.shape[1], pred_ts.shape[0]
@@ -214,13 +229,19 @@ class Warper:
         alpha = self.layer_to_output(obj_a, bg_a, grids, delta_bg=0.0, delta_obj=0.0)
         alpha = to_window(alpha)  # (B,Tw,No+1,H,W,1)
         tw = alpha.shape[1]
+        # frames whose HD maps are actually gathered downstream
+        to_hd = (lambda tensor: tensor[:, :hd_window]) if (
+            hd_window is not None and hd_window < tw) else (lambda tensor: tensor)
 
         # layout-agreement alpha refinement (lvd.py:624-647 / 731-760)
         if not self.no_filter:
+          with annotate("warper/lyt_refine"):
             lyt = to_window(x)[..., 3:]  # (B,Tw,H,W,Nl)
-            hd_lyt = to_window(hd_x)[..., 3:]  # (B,Tw,Hd,Wd,Nl)
+            # HD refinement only for the frames gathered downstream
+            hd_lyt = to_hd(to_window(hd_x))[..., 3:]  # (B,Tw',Hd,Wd,Nl)
             nl = lyt.shape[-1]
             if cls is None or self.weight_cls:
+                # window statistics span the FULL window (low-res, cheap)
                 alpha_win = alpha[:, :, 1:] + 1e-6  # B Tw No H W 1
                 if self.weight_cls:
                     sm = jax.nn.softmax(lyt, axis=-1)[:, :, None]  # B Tw 1 H W Nl
@@ -233,21 +254,29 @@ class Warper:
                 lyt_alpha = jnp.abs(
                     jax.nn.softmax(mean_lyt_win, axis=-1)
                     - jax.nn.softmax(hd_lyt, axis=-1)[:, :, None]
-                )  # B Tw No Hd Wd Nl
+                )  # B Tw' No Hd Wd Nl
                 lyt_alpha = 1.0 - lyt_alpha.sum(-1, keepdims=True) / 2.0
             else:
                 cl = cls[:, None, :, None, None, :]
                 lyt_alpha = jnp.abs(cl - jax.nn.softmax(hd_lyt, axis=-1)[:, :, None])
                 lyt_alpha = 1.0 - lyt_alpha.sum(-1, keepdims=True) / 2.0
 
+        alpha = to_hd(alpha)  # HD per-frame work: gathered frames only
         if self.scale_hd != 1:
-            alpha = resize(alpha, self.scale_hd)
+            with annotate("warper/alpha_upsample"):
+                alpha = resize(alpha, self.scale_hd)
         if not self.no_filter:
             alpha = jnp.concatenate([alpha[:, :, :1], alpha[:, :, 1:] * lyt_alpha], axis=2)
 
-        # occlusion among layers within each frame (lvd.py:649-652)
-        occ_w = to_window(occ)
-        alpha = self.occlusion_product(alpha, occ_w) * alpha  # B Tw No+1 Hd Wd 1
+        # occlusion among layers within each frame (lvd.py:649-652).
+        # The pairwise products are I*J elementwise ops per pixel — the
+        # dominant VPU cost at HD; alphas tolerate bf16 (~4e-3 on [0,1]
+        # masks), so "fast" sample precision halves the VPU traffic.
+        occ_dtype = jnp.bfloat16 if self.sample_precision == "fast" else None
+        with annotate("warper/occ_product_frame"):
+            occ_w = to_hd(to_window(occ))
+            occp = self.occlusion_product(alpha, occ_w, dtype=occ_dtype)
+            alpha = occp * alpha  # B Tw' No+1 Hd Wd 1
         alpha_unflt = alpha
 
         # per-(pred) sampling grids, shared across ctx (lvd.py:655-660): fold
@@ -288,7 +317,8 @@ class Warper:
         flow = flow.reshape(b, tp, no + 1, h, w, tc, 2)
         flow = jnp.moveaxis(flow, -2, 1)  # B Tc Tp No+1 H W 2
         if self.scale_hd != 1:
-            flow = resize(flow, self.scale_hd)  # B Tc Tp No+1 Hd Wd 2
+            with annotate("warper/flow_upsample"):
+                flow = resize(flow, self.scale_hd)  # B Tc Tp No+1 Hd Wd 2
         sample_grid = self.src_grid_hd[None, None] + flow.reshape(
             -1, no + 1, hd, wd, 2
         )  # (B*Tc*Tp, No+1, Hd, Wd, 2): per-layer grids
@@ -312,18 +342,28 @@ class Warper:
         alpha_ctx = jnp.moveaxis(alpha_ctx, -1, 1).reshape(
             b, tc, tp, no + 1, hd, wd, 1
         )
+        if occ_dtype is not None:
+            # "fast" precision stores the (B,Tc,Tp,No+1,Hd,Wd) alpha maps in
+            # bf16 — halves the HBM traffic of the pipeline's biggest tensor
+            alpha_ctx = alpha_ctx.astype(occ_dtype)
+            is_obj = is_obj.astype(occ_dtype) if hasattr(is_obj, "astype") else is_obj
         alpha_ctx = alpha_ctx * is_obj
         disocc = alpha_ctx.max(axis=3)  # B Tc Tp Hd Wd 1
 
         # occlusion at prediction time (lvd.py:683-692)
-        occ_pred = to_pred(occ)  # B Tp I J
-        a = alpha_ctx[:, :, :, :, None]  # B Tc Tp I 1 Hd Wd 1
-        o = occ_pred[:, None, :, :, :, None, None, None]  # B 1 Tp I J 1 1 1
-        alpha_ctx_occ = jnp.prod(1.0 - a * o, axis=3)  # B Tc Tp J Hd Wd 1
-        alpha_ctx = alpha_ctx_occ * alpha_ctx
+        with annotate("warper/occ_product_pred"):
+            occ_pred = to_pred(occ)  # B Tp I J
+            a = alpha_ctx[:, :, :, :, None]  # B Tc Tp I 1 Hd Wd 1
+            o = occ_pred[:, None, :, :, :, None, None, None]  # B 1 Tp I J 1 1 1
+            if occ_dtype is not None:
+                a, o = a.astype(occ_dtype), o.astype(occ_dtype)
+            alpha_ctx_occ = jnp.prod(1.0 - a * o, axis=3).astype(
+                alpha_ctx.dtype)  # B Tc Tp J Hd Wd 1
+            alpha_ctx = alpha_ctx_occ * alpha_ctx
 
-        # alpha-weighted flow reduction (lvd.py:695)
-        flow = (alpha_ctx * flow).sum(axis=3)  # B Tc Tp Hd Wd 2
+        # alpha-weighted flow reduction (lvd.py:695); accumulate f32
+        with annotate("warper/flow_reduce"):
+            flow = (alpha_ctx.astype(flow.dtype) * flow).sum(axis=3)  # B Tc Tp Hd Wd 2
 
         to_chan_last = lambda a: jnp.moveaxis(a[..., 0], 2, -1) * 2.0 - 1.0
         to_chan_last_ctx = lambda a: jnp.moveaxis(a[..., 0], 3, -1) * 2.0 - 1.0
@@ -353,17 +393,25 @@ class Warper:
                 precision=self.sample_precision,
             )
         out = out.reshape(b, tc, tp, hd, wd, c)
+        if self.sample_precision == "fast":
+            # bf16 storage of the warped-context stack (B,Tc,Tp,Hd,Wd,C):
+            # halves HBM traffic; the score-fused output accumulates in f32
+            out = out.astype(jnp.bfloat16)
+            alpha = alpha.astype(jnp.bfloat16)
 
-        score = ((alpha + 1) / 2).sum(axis=-1, keepdims=True)  # B Tc Tp Hd Wd 1
-        if self.include_self and tp == x.shape[1]:
-            score = jnp.concatenate([score, jnp.ones_like(score[:, :1])], axis=1)
-            alpha = jnp.concatenate([alpha, jnp.ones_like(alpha[:, :1])], axis=1)
-            out = jnp.concatenate([out, x[:, None]], axis=1)
-        raw_output = jnp.concatenate([out, alpha], axis=-1)  # B Tc' Tp Hd Wd C+No+1
+        with annotate("warper/fuse_score"):
+            score = ((alpha + 1) / 2).sum(axis=-1, keepdims=True)  # B Tc Tp Hd Wd 1
+            if self.include_self and tp == x.shape[1]:
+                score = jnp.concatenate([score, jnp.ones_like(score[:, :1])], axis=1)
+                alpha = jnp.concatenate([alpha, jnp.ones_like(alpha[:, :1])], axis=1)
+                out = jnp.concatenate([out, x[:, None].astype(out.dtype)], axis=1)
+            raw_output = jnp.concatenate([out, alpha], axis=-1)  # B Tc' Tp Hd Wd C+No+1
 
-        output = jnp.concatenate([out, score * 2 - 1], axis=-1)
-        score = (score + eps) / (score + eps).sum(axis=1, keepdims=True)
-        output = (output * score).sum(axis=1)  # B Tp Hd Wd C+1
+            output = jnp.concatenate([out, (score * 2 - 1).astype(out.dtype)],
+                                     axis=-1)
+            score = (score + eps) / (score + eps).sum(axis=1, keepdims=True)
+            output = (output.astype(jnp.float32)
+                      * score.astype(jnp.float32)).sum(axis=1)  # B Tp Hd Wd C+1
         return output, raw_output
 
     # ---- per-layer flow extraction for MAT propagation (lvd.py:575-600) ----

@@ -55,7 +55,13 @@ class WIFNet(nn.Module):
             out = out.reshape(b, tp, tc, h, w, n_out)
             beta = out[..., :3]
             score = jax.nn.softmax(out[..., 3:4], axis=2)
-            alpha = jax.nn.sigmoid(out[..., 4:5] + 5.0) if m.ii_ab else 0.0
+            if m.ii_ab:
+                # ii_ref_gate replays the reference's input-channel gate
+                # (wif.py:53) for converted-checkpoint compatibility
+                gate = vid[..., 4:5] if m.ii_ref_gate else out[..., 4:5]
+                alpha = jax.nn.sigmoid(gate + 5.0)
+            else:
+                alpha = 0.0
             fused = ((alpha * vid[..., :3] + beta) * score).sum(axis=2)
         else:
             fused = out.reshape(b, tp, h, w, 3)

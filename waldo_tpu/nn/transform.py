@@ -57,15 +57,16 @@ class CustomNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # epsilons pinned to the torch defaults (1e-5) for checkpoint parity
         if self.norm_type == "ln":
-            return nn.LayerNorm()(x)
+            return nn.LayerNorm(epsilon=1e-5)(x)
         if self.norm_type == "ln_not_affine":
-            return nn.LayerNorm(use_bias=False, use_scale=False)(x)
+            return nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-5)(x)
         if self.norm_type == "pn":
             return PixelNorm()(x)
         if self.norm_type == "ln2d":
             # per-channel norm over spatial dims (torch GroupNorm(C, C)), NHWC
-            return nn.GroupNorm(num_groups=x.shape[-1])(x)
+            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=1e-5)(x)
         raise ValueError(self.norm_type)
 
 
@@ -293,6 +294,66 @@ class SkipAttention(nn.Module):
         return nn.Dense(self.dim, **dense_kwargs())(out)
 
 
+class Skip2Attention(nn.Module):
+    """SkipAttention variant with per-query-frame context keys
+    (reference transform.py:343-392; unused by released configs).
+
+    Unlike SkipAttention, the delta stream dx_ctx carries a distinct key per
+    (context frame, query frame) pair: dx_ctx (B, T, T0*L, C), so queries of
+    frame t0 attend to context frame t through key k(dx_ctx[:, t, t0*L:(t0+1)*L])."""
+
+    dim: int
+    num_heads: int
+    latent_size: int
+    num_seeds: int = 0
+    temporal_dropout: float = 0.0
+    non_trivial: bool = False
+
+    @nn.compact
+    def __call__(self, x, x_ctx, dx_ctx, mode="inference", ctx_mask=None,
+                 deterministic=True, **_):
+        l = self.latent_size
+        b, t, n, c = dx_ctx.shape
+        t0 = n // l
+        hn = self.num_heads
+        d = c // hn
+        qkv = nn.Dense(self.dim * 3, use_bias=False, **dense_kwargs())(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        k_ctx = nn.Dense(self.dim, use_bias=False, **dense_kwargs())(dx_ctx)
+        v_ctx = nn.Dense(self.dim, use_bias=False, **dense_kwargs())(x_ctx)
+        # k_ctx: (B, T, T0, L, hn, d) -> (B, hn, T0, T, L, d)
+        kc = k_ctx.reshape(b, t, t0, l, hn, d).transpose(0, 4, 2, 1, 3, 5)
+        vc = v_ctx.reshape(b, t * l, hn, d).transpose(0, 2, 1, 3)  # B hn T*L d
+        qh = q.reshape(b, t0, l, hn, d).transpose(0, 3, 1, 2, 4)  # B hn T0 L d
+        attn = jnp.einsum("bhoqd,bhotkd->bhotqk", qh, kc) * (d ** -0.5)
+        # (B, hn, T0, T, L, L) -> (B, hn, T0*L, T, L)
+        attn = attn.transpose(0, 1, 2, 4, 3, 5).reshape(b, hn, t0 * l, t, l)
+        if ctx_mask is not None:
+            attn = jnp.where(ctx_mask[:, None, None, :, None], attn, _NEG)
+        if mode == "training" and self.non_trivial:
+            idx = jnp.arange(t)
+            m = (idx[:, None] + self.num_seeds) == idx[None, :]
+            m = jnp.repeat(m[:t0][:, None, :], l, axis=1).reshape(t0 * l, t)
+            attn = jnp.where(m[None, None, :, :, None], _NEG, attn)
+        if mode == "training" and self.temporal_dropout > 0 and not deterministic:
+            drop = jax.random.uniform(self.make_rng("noise"),
+                                      attn.shape[:-1] + (1,)) < self.temporal_dropout
+            attn = jnp.where(drop, _NEG, attn)
+        kh = k.reshape(b, t0, l, hn, d).transpose(0, 3, 1, 2, 4)
+        vh = v.reshape(b, t0, l, hn, d).transpose(0, 3, 1, 2, 4)
+        self_attn = (qh @ kh.transpose(0, 1, 2, 4, 3)) * (d ** -0.5)
+        self_attn = self_attn.reshape(b, hn, t0 * l, 1, l)
+        full = jnp.concatenate([attn, self_attn], axis=3).reshape(
+            b, hn, t0 * l, (t + 1) * l)
+        full = jax.nn.softmax(full, axis=-1)
+        out = full[..., : t * l] @ vc
+        self_part = (
+            full[..., t * l:].reshape(b, hn, t0, l, l) @ vh
+        ).reshape(b, hn, t0 * l, d)
+        out = (out + self_part).transpose(0, 2, 1, 3).reshape(b, t0 * l, c)
+        return nn.Dense(self.dim, **dense_kwargs())(out)
+
+
 _ATTN = {
     "full": FullAttention,
     "full_with_cond_norm": FullAttention,
@@ -303,6 +364,7 @@ _ATTN = {
     "seed": SeedAttention,
     "block_causal": BlockCausalAttention,
     "skip": SkipAttention,
+    "skip2": Skip2Attention,
 }
 
 

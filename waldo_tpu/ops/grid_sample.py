@@ -41,38 +41,43 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray, precision: str = "float32")
     ~2-3x faster, |err| ~4e-3 — fine for alpha/occupancy maps, never for
     flow/coordinate fields)."""
     impl = _IMPL
-    src = img.shape[-3] * img.shape[-2]
-    c = img.shape[-1]
     if impl == "pallas":
         return _pallas_with_mxu_grad(img, grid, precision)
     if impl == "auto":
-        # Measured on v5e (scripts/sampler_bench.py, smooth pipeline grids):
-        # the XLA hat-matmul path wins for small jobs (its (P, W*C) HBM
-        # transient is cheap and it has no per-tile overhead); the Pallas
-        # bbox kernel wins once src_pixels*C is large — 256x512 C=23 fusion
-        # 244 vs 288 ms, 512x1024 C=23 fusion 251 vs 856 ms, 512x1024 C=1
-        # alpha 265 vs 305 ms. Crossover ~2^19 source-pixel-channels.
-        out_px = grid.shape[-3] * grid.shape[-2]
-        if (
-            jax.default_backend() == "tpu"
-            and src * c >= (1 << 19)
-            and src <= (1 << 22)
-            # small target grids waste the kernel's patch/group
-            # padding and lose to the hat-matmul path anyway (flow_warp_obj
-            # row of the bench); huge fold-in batches (training-time
-            # B*T*No folds) blow up the kernel's padded layouts
-            and out_px >= (1 << 15)
-            and img.shape[0] <= 256
-        ):
-            return _pallas_with_mxu_grad(img, grid, precision)
-        impl = (
-            "mxu"
-            if (src <= _MXU_MAX_SRC and c <= _MXU_MAX_CHAN)
-            else "gather"
-        )
+        impl = auto_impl(img.shape, grid.shape, jax.default_backend())
+    if impl == "pallas":
+        return _pallas_with_mxu_grad(img, grid, precision)
     if impl == "mxu":
         return grid_sample_mxu(img, grid, precision=precision)
     return grid_sample_ref(img, grid)
+
+
+def auto_impl(img_shape, grid_shape, backend) -> str:
+    """Measurement-driven dispatch (v5e, scripts/sampler_bench.py).
+
+    The XLA hat-matmul path wins for small jobs (its (P, W*C) HBM transient
+    is cheap and it has no per-tile overhead); the Pallas bbox kernel wins
+    once src_pixels*C is large — 256x512 C=23 fusion 244 vs 288 ms,
+    512x1024 C=23 fusion 251 vs 856 ms, 512x1024 C=1 alpha 265 vs 305 ms.
+    Crossover ~2^19 source-pixel-channels. Every branch is CORRECT for
+    every shape (guarded by test_grid_sample_dispatch_envelope); the
+    constants only pick the fastest."""
+    src = img_shape[-3] * img_shape[-2]
+    c = img_shape[-1]
+    out_px = grid_shape[-3] * grid_shape[-2]
+    if (
+        backend == "tpu"
+        and src * c >= (1 << 19)
+        and src <= (1 << 22)
+        # small target grids waste the kernel's patch/group padding and lose
+        # to the hat-matmul path anyway (flow_warp_obj row of the bench);
+        # huge fold-in batches (training-time B*T*No folds) blow up the
+        # kernel's padded layouts
+        and out_px >= (1 << 15)
+        and img_shape[0] <= 256
+    ):
+        return "pallas"
+    return "mxu" if (src <= _MXU_MAX_SRC and c <= _MXU_MAX_CHAN) else "gather"
 
 
 def _hat(pos, n, dtype):

@@ -81,7 +81,11 @@ class InverseWarp:
 
         dsrc = src_grid - self.src_grid[None]
         if (hs, ws) != (h, w):
-            dsrc = jax.image.resize(dsrc, (b, h, w, 2), method="bilinear")
+            # torch-tap bilinear (ops/image.py), not jax.image.resize: exact
+            # parity with the reference's F.interpolate (warp.py:77)
+            from .image import resize
+
+            dsrc = resize(dsrc, shape=(h, w))
         dx = dsrc[..., 0].reshape(b, -1) * (w / 2.0)
         dy = dsrc[..., 1].reshape(b, -1) * (h / 2.0)
 

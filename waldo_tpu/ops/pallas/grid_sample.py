@@ -290,13 +290,16 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     wc = max(d for d in (WCHUNK, 128) if ww % d == 0)
 
     # pad the output to (ROWS, COLS) patch multiples AND the tile count to a
-    # group multiple; padded coords point far outside -> all-zero hat rows
-    # -> zero output, cropped after
+    # group multiple. Spatial pad lanes REPLICATE the edge coordinate (not a
+    # far-out sentinel): they enter the per-tile bbox min/max, and a sentinel
+    # would anchor edge-tile bboxes at the plane origin, forfeiting the bbox
+    # fast path for every non-(ROWS,COLS)-multiple output (ADVICE r2). The
+    # replicated lanes compute duplicates of real pixels, cropped after.
     ghp, gwp = -gh % ROWS, -gw % COLS
     if ghp or gwp:
         pad5 = ((0, 0), (0, 0), (0, ghp), (0, gwp))
-        ix = jnp.pad(ix, pad5, constant_values=-10.0)
-        iy = jnp.pad(iy, pad5, constant_values=-10.0)
+        ix = jnp.pad(ix, pad5, mode="edge")
+        iy = jnp.pad(iy, pad5, mode="edge")
     ghh, gww = gh + ghp, gw + gwp
     ix = _patch_tile(ix.reshape(b * gc, ghh, gww), ghh, gww)
     iy = _patch_tile(iy.reshape(b * gc, ghh, gww), ghh, gww)

@@ -20,14 +20,23 @@ from .checkpoint import CheckpointManager, normalize_which
 
 
 def save_video_frames(vid: np.ndarray, path: str, fps: int = 4):
-    """vid (T, H, W, 3) in [-1,1] -> mp4 (via imageio/PIL fallback to .npz)."""
+    """vid (T, H, W, 3) in [-1,1] -> mp4 (imageio when present), else MJPG
+    .avi via the framework's own RIFF writer (data/video.py), else PNGs."""
     arr = ((np.clip(vid, -1, 1) + 1) / 2 * 255).astype(np.uint8)
     try:
         import imageio.v2 as imageio
 
         imageio.mimwrite(path, list(arr), fps=fps, macro_block_size=1)
+        return
     except Exception:
-        # fallback: frame folder of PNGs next to the intended mp4
+        pass
+    try:
+        from ..data.video import write_mjpeg_avi
+
+        write_mjpeg_avi(path[:-4] + ".avi", arr, fps=fps)
+        return
+    except Exception:
+        # last resort: frame folder of PNGs next to the intended mp4
         import PIL.Image
 
         folder = path[:-4]
@@ -108,8 +117,33 @@ class Evaluator:
                             vids[b], os.path.join(folder, f"vid_{vid_id:05d}.mp4"),
                             fps=4,
                         )
-            err = np.abs(out["pred_vid"] - out["real_vid"]).mean() if "pred_vid" in out else np.nan
-            metrics.setdefault("l1_pred", []).append(float(err))
+            self._accumulate_metrics(out, metrics)
             if max_batches is not None and i + 1 >= max_batches:
                 break
         return {k: float(np.mean(v)) for k, v in metrics.items()}
+
+    def _accumulate_metrics(self, out, metrics):
+        """Scalar eval aggregation (reference synthesizer_evaluator.py:35-77):
+        L1 + PSNR/SSIM on predicted and reconstructed frames, full-pipeline
+        (inp_*) variants when WIF is active."""
+        from ..eval.metrics import psnr, ssim
+
+        if not hasattr(self, "_metric_fns"):
+            import jax as _jax
+
+            self._metric_fns = {"psnr": _jax.jit(psnr), "ssim": _jax.jit(ssim)}
+        real = out["real_vid"]
+        tc = self.cfg.model.ctx_len
+        for name, key in [("pred", "pred_vid"), ("rec", "rec_vid"),
+                          ("inp_pred", "inp_pred_vid"), ("inp_rec", "inp_rec_vid")]:
+            if key not in out:
+                continue
+            v = out[key]
+            t0 = tc if v.shape[1] == real.shape[1] else 0
+            a = ((np.clip(v[:, t0:], -1, 1) + 1) / 2).reshape((-1,) + v.shape[2:])
+            b = ((np.clip(real[:, t0:], -1, 1) + 1) / 2).reshape((-1,) + real.shape[2:])
+            metrics.setdefault(f"l1_{name}", []).append(float(np.abs(v[:, t0:] - real[:, t0:]).mean()))
+            metrics.setdefault(f"psnr_{name}", []).append(
+                float(np.mean(np.asarray(self._metric_fns["psnr"](a, b)))))
+            metrics.setdefault(f"ssim_{name}", []).append(
+                float(np.mean(np.asarray(self._metric_fns["ssim"](a, b)))))

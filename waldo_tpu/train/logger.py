@@ -90,7 +90,11 @@ class Logger:
         self.writer.add_images(name, img, step, dataformats="NHWC")
 
     def log_vid(self, name, vid, step, span=(-1, 1), ctx_mask=None):
-        """vid (B, T, H, W, 3) in span; pred frames get a red border."""
+        """vid (B, T, H, W, 3) in span; pred frames get a red border.
+
+        Logged as a frame-strip image grid (T tiled along width): the
+        torch SummaryWriter's add_video silently no-ops without moviepy
+        (absent in this image), and a strip is scrubbable in TB anyway."""
         vid = self._to01(np.asarray(vid), span)
         if ctx_mask is not None:
             border = 2
@@ -102,10 +106,9 @@ class Logger:
                         vid[b, t, -border:] = [1, 0, 0]
                         vid[b, t, :, :border] = [1, 0, 0]
                         vid[b, t, :, -border:] = [1, 0, 0]
-        import torch
-
-        tv = torch.from_numpy(np.ascontiguousarray(vid.transpose(0, 1, 4, 2, 3)))
-        self.writer.add_video(name, tv, step, fps=self.fps)
+        b, t, h, w, c = vid.shape
+        strip = vid.transpose(0, 2, 1, 3, 4).reshape(b, h, t * w, c)
+        self.writer.add_images(name, strip, step, dataformats="NHWC")
 
     def log_flow(self, name, flow, step):
         rgb = flow_to_rgb(np.asarray(flow))
@@ -120,6 +123,49 @@ class Logger:
             self.log_vid(name, rgb * 2 - 1, step)
         else:
             self.log_img(name, rgb * 2 - 1, step)
+
+    def log_visuals(self, prefix, arrays, pts, step, palette=None, max_items=2,
+                    pts_geometry=None, ctx_len=None):
+        """Render a Synthesizer.visuals() payload (reference logging cadence,
+        synthesizer.py:241-282): videos, HSV flows, layer/semantic layouts,
+        and control-point scatter+motion."""
+        for key, arr in arrays.items():
+            kind, name = key.split("/", 1)
+            a = np.asarray(arr)[:max_items]
+            if a.ndim == 5 and a.shape[-1] == 1 and kind == "vid":
+                a = np.repeat(a, 3, axis=-1)  # grayscale map
+            ctx_mask = None
+            if ctx_len is not None and kind == "vid" and a.ndim == 5:
+                ctx_mask = np.arange(a.shape[1])[None, :] < ctx_len
+                ctx_mask = np.broadcast_to(ctx_mask, a.shape[:2])
+            try:
+                if kind == "vid":
+                    self.log_vid(f"{prefix}/{name}", a, step, ctx_mask=ctx_mask)
+                elif kind == "img":
+                    self.log_img(f"{prefix}/{name}", a, step)
+                elif kind == "flow":
+                    self.log_flow(f"{prefix}/{name}", a, step)
+                elif kind == "obj_lyt":
+                    self.log_lyt(f"{prefix}/{name}", a, step, palette=None)
+                elif kind == "sem_lyt":
+                    self.log_lyt(f"{prefix}/{name}", a, step, palette=palette)
+            except Exception as e:  # rendering must never kill training
+                print(f"[logger] could not render {prefix}/{name}: {e}")
+        if pts and pts_geometry is not None:
+            h, w = pts_geometry
+            n = 1  # matplotlib rendering is per-frame; keep it cheap
+            try:
+                for src in ("", "pred_"):
+                    if f"{src}obj_pts" not in pts:
+                        continue
+                    op = np.asarray(pts[f"{src}obj_pts"])[:n]
+                    bp = np.asarray(pts.get(f"{src}bg_pts", pts["bg_pts"]))[:n]
+                    self.log_vid(f"{prefix}/{src}pts", get_pts(op, bp, h, w, mul=2),
+                                 step)
+                    self.log_vid(f"{prefix}/{src}mot", get_mot(op, bp, h, w, mul=2),
+                                 step)
+            except Exception as e:
+                print(f"[logger] could not render {prefix} pts: {e}")
 
     def close(self):
         self.writer.close()
