@@ -81,9 +81,20 @@ def main():
 
     pred_frames = batch * (vid_len - cfg.model.ctx_len) * iters
     fps = pred_frames / dt
-    base = float(os.environ.get("WALDO_BASELINE_FPS", "0") or 0)
-    vs = fps / base if base > 0 else 0.0
     out_h = load_dim if load_dim > 0 else dim
+    base = float(os.environ.get("WALDO_BASELINE_FPS", "0") or 0)
+    base_src = "WALDO_BASELINE_FPS"
+    if base <= 0:
+        # measured torch-reference throughput (scripts/ref_baseline_fps.py);
+        # CPU-hardware anchor, labeled as such in baseline_hardware
+        bp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          f"BASELINE_TORCH_{out_h}.json")
+        if os.path.exists(bp):
+            with open(bp) as f:
+                bj = json.load(f)
+            base = float(bj.get("fps", 0))
+            base_src = f"torch reference, {bj.get('hardware', '?')}"
+    vs = fps / base if base > 0 else 0.0
     print(json.dumps({
         "metric": f"pred_frames_per_sec_per_chip({dataset} {out_h}x{int(out_h*cfg.aspect_ratio)}, {vid_len}-frame rollout)",
         "value": round(fps, 3),
@@ -94,6 +105,7 @@ def main():
         "fast_inverse": cfg.model.fast_inverse_warp,
         "compute_dtype": cfg.compute_dtype,
         "sample_precision": cfg.model.sample_precision,
+        "baseline_hardware": base_src if base > 0 else "none",
     }))
 
 

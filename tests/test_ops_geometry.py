@@ -390,3 +390,34 @@ def test_grid_sample_dispatch_envelope():
         pal = np.asarray(grid_sample_pallas(img, grid, interpret=True))
         np.testing.assert_allclose(mxu, ref, atol=2e-5)
         np.testing.assert_allclose(pal, ref, atol=2e-5)
+
+
+def test_warp_alpha_ctx_pallas_matches_ref():
+    """Fused alpha_ctx kernel (sample + ghost mask + disocc max + occlusion
+    product + flow reduction in one pass) must match the jnp composition,
+    with and without is_obj ghost masks, on non-tile-aligned output shapes
+    (interpret mode: runs on CPU)."""
+    import jax.numpy as jnp
+
+    from waldo_tpu.ops.grid_sample import _warp_alpha_ctx_ref
+    from waldo_tpu.ops.pallas.grid_sample import warp_alpha_ctx_pallas
+
+    rng = np.random.RandomState(7)
+    b, tc, tp, c = 1, 2, 2, 3
+    f, n, tcp = b * tc, b * tc * tp, tc * tp
+    for (h, w, gh, gw), with_io in [((32, 128, 40, 130), True),
+                                    ((24, 96, 32, 128), False)]:
+        alpha = jnp.asarray(rng.rand(f, h, w, c).astype(np.float32))
+        grids = jnp.asarray(
+            (rng.rand(n, c, gh, gw, 2) * 2.4 - 1.2).astype(np.float32))
+        occ = jnp.asarray(rng.rand(n, c, c).astype(np.float32))
+        io = (jnp.asarray((rng.rand(b * tp, c, gh, gw) > 0.3)
+                          .astype(np.float32)) if with_io else None)
+        want = _warp_alpha_ctx_ref(alpha, grids, occ, io,
+                                   tp_sz=tp, tcp=tcp, precision="float32")
+        got = warp_alpha_ctx_pallas(alpha, grids, occ, io, tp_sz=tp, tcp=tcp,
+                                    precision="float32", interpret=True)
+        for name, a, bb in zip(("alpha_occ", "disocc", "flow"), want, got):
+            np.testing.assert_allclose(
+                np.asarray(bb), np.asarray(a), atol=2e-5, rtol=1e-4,
+                err_msg=f"{name} {h}x{w}->{gh}x{gw} io={with_io}")

@@ -124,3 +124,61 @@ def test_grid_to_flow_hd_window_is_exact():
     np.testing.assert_array_equal(np.asarray(full[4]), np.asarray(sliced[4]))
     np.testing.assert_array_equal(np.asarray(full[1][:, :tc]),
                                   np.asarray(sliced[1]))
+
+
+def _grid_to_flow_case(restrict_to_ctx, precision):
+    w, cfg = make_warper(num_obj=2)
+    cfg.load_dim = 64
+    cfg.model.sample_precision = precision
+    w2 = Warper(cfg)
+    rng = np.random.RandomState(1)
+    b, t, tc, tp = 1, 3, 2, 2
+    no = 2
+    h, wd = 32, 64
+    hd, wdd = 64, 128
+    ho, wo = w2.tgt_shape
+    grids = WarpGrids(
+        jnp.asarray(rng.rand(b, t, no, ho, wo, 2) * 2 - 1, jnp.float32),
+        jnp.asarray(rng.rand(b, t, no, h, wd, 2) * 2 - 1, jnp.float32),
+        jnp.asarray(rng.rand(b, t, h, wd, 2) * 2 - 1, jnp.float32),
+        jnp.asarray(rng.rand(b, t, h, wd, 2) * 2 - 1, jnp.float32),
+    )
+    x = jnp.asarray(rng.rand(b, t, hd, wdd, 3 + 4) * 2 - 1, jnp.float32)
+    occ = jnp.asarray(rng.rand(b, t, no + 1, no + 1), jnp.float32)
+    obj_alpha = jnp.asarray(rng.rand(b, no, ho, wo, 1) * 2 - 1, jnp.float32)
+    bg_alpha = jnp.asarray(rng.rand(b, h, wd, 1) * 2 - 1, jnp.float32)
+    cls = jnp.asarray(rng.rand(b, no, 4), jnp.float32)
+    ctx_ts = jnp.broadcast_to(jnp.arange(tc)[None, :, None], (b, tc, tp))
+    pred_ts = jnp.arange(t - tp, t)
+    return w2, (x, grids, occ, obj_alpha, bg_alpha, cls, ctx_ts, pred_ts)
+
+
+@pytest.mark.parametrize("restrict_to_ctx", [False, True])
+def test_grid_to_flow_ctx_uniform_matches_unfused(restrict_to_ctx):
+    """ctx_uniform=True (the fused alpha_ctx warp; jnp composition fallback
+    off-TPU) must match the standard gather+sample+occlude+reduce path.
+    restrict_to_ctx=True additionally exercises the is_obj ghost masks."""
+    w2, args = _grid_to_flow_case(restrict_to_ctx, "float32")
+    base = w2.grid_to_flow(*args, restrict_to_ctx=restrict_to_ctx,
+                           hd_window=2)
+    fused = w2.grid_to_flow(*args, restrict_to_ctx=restrict_to_ctx,
+                            hd_window=2, ctx_uniform=True)
+    names = ("flow", "alpha_unflt", "alpha", "alpha_ctx", "disocc")
+    for name, a, bb in zip(names, base, fused):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            atol=2e-5, rtol=1e-4, err_msg=name)
+
+
+def test_grid_to_flow_ctx_uniform_fast_mode():
+    """fast (bf16) sample precision: the fused path tracks the unfused one
+    within the advertised bf16 tolerance."""
+    w2, args = _grid_to_flow_case(False, "fast")
+    base = w2.grid_to_flow(*args, hd_window=2)
+    fused = w2.grid_to_flow(*args, hd_window=2, ctx_uniform=True)
+    for name, a, bb in zip(("flow", "alpha_ctx", "disocc"),
+                           (base[0], base[3], base[4]),
+                           (fused[0], fused[3], fused[4])):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            atol=3e-2, rtol=1e-2, err_msg=name)

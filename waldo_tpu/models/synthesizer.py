@@ -203,8 +203,11 @@ class Synthesizer:
         return obj, bg, output_alpha
 
     def decode_output(self, real_input, grids, occ, obj_alpha, bg_alpha, cls,
-                      ctx_ts, pred_ts, restrict_to_ctx=None, hd_window=None):
-        """reference lvd.py:141-153."""
+                      ctx_ts, pred_ts, restrict_to_ctx=None, hd_window=None,
+                      ctx_uniform=False):
+        """reference lvd.py:141-153. ctx_uniform: inference-only promise
+        that ctx_ts is constant along pred (enables the fused alpha_ctx
+        warp; no VJP — never set under grad)."""
         m = self.cfg.model
         if restrict_to_ctx is None:
             restrict_to_ctx = m.restrict_to_ctx
@@ -212,6 +215,7 @@ class Synthesizer:
             flow, alpha_unflt, alpha, alpha_ctx, disocc = self.warper.grid_to_flow(
                 real_input, grids, occ, obj_alpha, bg_alpha, cls, ctx_ts, pred_ts,
                 restrict_to_ctx=restrict_to_ctx, hd_window=hd_window,
+                ctx_uniform=ctx_uniform,
             )
         with annotate("warper/input_to_output"):
             output, raw_output = self.warper.input_to_output(real_input, alpha_ctx, flow, ctx_ts)
@@ -789,7 +793,7 @@ class Synthesizer:
         pred_ts = jnp.arange(t)
         rec_output, _, _, _, _, raw_output, alpha_ctx = self.decode_output(
             decode_input, grids, occ, obj_alpha, bg_alpha, p["cls"], ctx_ts, pred_ts,
-            restrict_to_ctx=m.restrict_to_ctx, hd_window=ctx_len,
+            restrict_to_ctx=m.restrict_to_ctx, hd_window=ctx_len, ctx_uniform=True,
         )
         rec_vid = rec_output[..., :3]
         out = {"real_vid": vid, "rec_vid": rec_vid}
@@ -818,7 +822,7 @@ class Synthesizer:
                 self.decode_output(decode_input, grids2, occ2, obj_alpha2, bg_alpha2,
                                    p["cls"], ctx_ts2, pred_ts2,
                                    restrict_to_ctx=m.restrict_to_ctx,
-                                   hd_window=ctx_len)
+                                   hd_window=ctx_len, ctx_uniform=True)
             )
             pred_vid = jnp.concatenate([vid[:, :ctx_len], pred_output[..., :3]], axis=1)
             out["pred_vid"] = pred_vid

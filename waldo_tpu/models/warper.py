@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import TPSWarp, InverseWarp, get_grid, grid_sample, resize
-from ..ops.grid_sample import grid_sample_multigrid
+from ..ops.grid_sample import grid_sample_multigrid, warp_alpha_ctx
 from ..utils import gather_time
 from ..utils.profiling import annotate
 
@@ -185,7 +185,7 @@ class Warper:
 
     def grid_to_flow(
         self, x, grids: WarpGrids, occ, obj_alpha, bg_alpha, cls, ctx_ts, pred_ts,
-        restrict_to_ctx=False, hd_window=None,
+        restrict_to_ctx=False, hd_window=None, ctx_uniform=False,
     ):
         """Dense ctx->pred flow per layer, occlusion-merged.
 
@@ -194,6 +194,14 @@ class Warper:
         cls: (B,No,Nl) or None; ctx_ts (B,Tc,Tp) int; pred_ts (Tp,) int
         returns flow (B,Tc,Tp,Hd,Wd,2), alpha_unflt/alpha (B,T*,Hd,Wd,No+1),
         alpha_ctx (B,Tc,Tp,Hd,Wd,No+1), disocc (B,Tc,Tp,Hd,Wd,1)
+
+        ctx_uniform: caller promise that ctx_ts is constant along the pred
+        axis (ctx_ts[b, k, :] == ctx_ts[b, k, 0], the predict-path shape).
+        Enables the fused alpha_ctx warp (ops.warp_alpha_ctx — on TPU one
+        Pallas kernel runs the sample, ghost mask, disocclusion max,
+        prediction-time occlusion product and flow reduction without
+        materializing the (B,Tc,Tp,No+1,Hd,Wd) intermediates). Inference
+        only: the fused op has no VJP.
 
         hd_window: when ctx_ts only references frames [0, hd_window), the
         per-frame HD work (layout refinement, alpha upsample, frame
@@ -323,9 +331,43 @@ class Warper:
             -1, no + 1, hd, wd, 2
         )  # (B*Tc*Tp, No+1, Hd, Wd, 2): per-layer grids
 
+        to_chan_last = lambda a: jnp.moveaxis(a[..., 0], 2, -1) * 2.0 - 1.0
+        to_chan_last_ctx = lambda a: jnp.moveaxis(a[..., 0], 3, -1) * 2.0 - 1.0
+
         # warp per-layer alphas along the flow (lvd.py:676-680). In both paths
         # ctx_ts indexes into the alpha window (full T, or leading Tc frames
         # when restrict_to_ctx), so one gather covers both.
+        if ctx_uniform:
+            # fused path: gather only the UNIQUE ctx frames (ctx_ts is
+            # constant along pred by the caller's promise) and run sample +
+            # ghost mask + disocc + occlusion product + flow reduction as one
+            # op; none of the (B,Tc,Tp,No+1,Hd,Wd) intermediates materialize
+            with annotate("warper/alpha_ctx_fused"):
+                idx = ctx_ts[:, :, 0][:, :, None, None, None, None]
+                alpha_u = jnp.take_along_axis(alpha, idx, axis=1)
+                tex = jnp.moveaxis(alpha_u[..., 0], 2, -1).reshape(
+                    b * tc, hd, wd, no + 1)
+                occ_n = jnp.broadcast_to(
+                    to_pred(occ)[:, None], (b, tc, tp, no + 1, no + 1)
+                ).reshape(b * tc * tp, no + 1, no + 1)
+                io = None
+                if hasattr(is_obj, "shape"):
+                    io = is_obj[..., 0][:, 0].reshape(b * tp, no + 1, hd, wd)
+                alpha_occ, disocc, flow = warp_alpha_ctx(
+                    tex, sample_grid, occ_n, io, tp_sz=tp, tcp=tc * tp,
+                    precision=self.sample_precision)
+            alpha_ctx = alpha_occ.reshape(b, tc, tp, hd, wd, no + 1)
+            if occ_dtype is not None:
+                alpha_ctx = alpha_ctx.astype(occ_dtype)
+            disocc = disocc.reshape(b, tc, tp, hd, wd, 1)
+            flow = flow.reshape(b, tc, tp, hd, wd, 2)
+            return (
+                flow,
+                to_chan_last(alpha_unflt),
+                to_chan_last(alpha),
+                alpha_ctx * 2.0 - 1.0,
+                disocc,
+            )
         alpha_ctx = gather_time(alpha, ctx_ts)  # B Tc Tp No+1 Hd Wd 1
         # alpha maps tolerate bf16 sampling error (~4e-3 on [0,1] masks);
         # this is the largest sample batch of the pipeline. Layers become
@@ -365,8 +407,6 @@ class Warper:
         with annotate("warper/flow_reduce"):
             flow = (alpha_ctx.astype(flow.dtype) * flow).sum(axis=3)  # B Tc Tp Hd Wd 2
 
-        to_chan_last = lambda a: jnp.moveaxis(a[..., 0], 2, -1) * 2.0 - 1.0
-        to_chan_last_ctx = lambda a: jnp.moveaxis(a[..., 0], 3, -1) * 2.0 - 1.0
         return (
             flow,
             to_chan_last(alpha_unflt),

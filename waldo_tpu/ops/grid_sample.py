@@ -233,6 +233,68 @@ def _pallas_mg_bwd(precision, res, g):
 _pallas_mg_with_mxu_grad.defvjp(_pallas_mg_fwd, _pallas_mg_bwd)
 
 
+def warp_alpha_ctx(alpha_u, grids, occ, is_obj, *, tp_sz, tcp,
+                   precision: str = "float32"):
+    """Fused predict-path alpha_ctx warp (sample + ghost mask + disocc max +
+    prediction-time occlusion product + alpha-weighted flow reduction).
+
+    alpha_u (F, H, W, C): unique frame-occluded per-layer alphas, F = B*Tc
+    grids   (N, C, gh, gw, 2): per-layer grids, N = B*Tc*Tp row-major —
+            program n samples frame n // tp_sz (REQUIRES ctx_ts uniform over
+            the pred axis, the predict-path contract)
+    occ     (N, C, C); is_obj (B*Tp, C, gh, gw) or None; tp_sz=Tp, tcp=Tc*Tp
+
+    Returns (alpha_occ (N, gh, gw, C), disocc (N, gh, gw, 1),
+    flow (N, gh, gw, 2) = sum_j alpha_occ_j * (g_j - base_grid)).
+
+    On TPU inside the Pallas envelope this runs as ONE kernel and the
+    (N, C, gh, gw) alpha intermediates never reach HBM (reference hot loop
+    lvd.py:676-695); elsewhere it falls back to the jnp composition."""
+    f, h, w, c = alpha_u.shape
+    n, gc, gh, gw, _ = grids.shape
+    assert gc == c and n == f * tp_sz, (alpha_u.shape, grids.shape, tp_sz)
+    if (
+        _IMPL in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and h * w * c >= (1 << 19)
+        and h * w <= (1 << 22)
+        and gh * gw >= (1 << 15)
+        and n <= 256
+    ):
+        from .pallas.grid_sample import warp_alpha_ctx_pallas
+
+        return warp_alpha_ctx_pallas(alpha_u, grids, occ, is_obj,
+                                     tp_sz=tp_sz, tcp=tcp, precision=precision)
+    return _warp_alpha_ctx_ref(alpha_u, grids, occ, is_obj,
+                               tp_sz=tp_sz, tcp=tcp, precision=precision)
+
+
+def _warp_alpha_ctx_ref(alpha_u, grids, occ, is_obj, *, tp_sz, tcp,
+                        precision="float32"):
+    """jnp composition of the fused warp (same math, XLA-scheduled)."""
+    from .grid import get_grid
+
+    f, h, w, c = alpha_u.shape
+    n, _, gh, gw, _ = grids.shape
+    # frame n // tp_sz, expressed as a reshape (the contract makes the
+    # gather a broadcast)
+    a_g = jnp.broadcast_to(alpha_u[:, None], (f, tp_sz, h, w, c))
+    a_g = a_g.reshape(n, h, w, c)
+    sam = grid_sample_multigrid(a_g, grids, precision=precision)
+    if is_obj is not None:
+        rows = (jnp.arange(n) // tcp) * tp_sz + jnp.arange(n) % tp_sz
+        io = jnp.moveaxis(is_obj[rows], 1, -1)
+        sam = sam * io.astype(sam.dtype)
+    dis = sam.max(-1, keepdims=True)
+    o = occ[:, None, None].astype(sam.dtype)  # N 1 1 I J
+    occp = jnp.prod(1.0 - sam[..., None] * o, axis=-2)  # N gh gw J
+    a_occ = occp * sam
+    base = jnp.asarray(get_grid(gh, gw))
+    flow_per = jnp.moveaxis(grids, 1, -2) - base[None, :, :, None]  # N gh gw C 2
+    fl = (a_occ[..., None].astype(jnp.float32) * flow_per).sum(-2)
+    return a_occ, dis, fl
+
+
 def grid_sample_ref(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = img.shape
     gb, gh, gw, _ = grid.shape

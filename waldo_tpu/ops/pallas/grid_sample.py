@@ -113,10 +113,18 @@ def _block_contrib(tex_b, ix, iy, x0, y0, wc, hc, precision):
 
 
 def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
-            bounds, *, h, w, c, hb, wb, hc, wc, precision, shared):
+            bounds, hats_s, *, h, w, c, hb, wb, hc, wc, precision, shared):
     """shared=True: one grid per image, all channels sample along it (ctx
     fusion). shared=False: per-channel grids (the alpha_ctx warp: each
-    layer-alpha plane rides its own flow) — bounds are then per step."""
+    layer-alpha plane rides its own flow) — bounds are then per step.
+
+    v8: for shared grids the per-tile work that channels can reuse — the
+    tile->column coordinate conversion and the (TILE_P, hb)/(TILE_P, wb)
+    hat matrices — is computed once per tile (at ck==0) into VMEM scratch
+    instead of once per (tile, channel) step. The earlier attempt carried
+    hats as loop state (slower, see NOTE below); scratch refs avoid the
+    carry entirely. Measured on the HD C=23 fusion shape this per-step VPU
+    cost (~3.5us of iota/abs/max + repeat/mask ops) dominated the kernel."""
     i = pl.program_id(0)
     n_steps = TG * c
     n_bounds = TG if shared else TG * c
@@ -175,24 +183,42 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
         def _():
             start(s + 1)
 
-        # NOTE: carrying the hats across the channel loop (recompute only at
-        # ck==0) was measured SLOWER (413 vs 244 ms on the C=23 fusion shape)
-        # — the (TILE_P, WB) cond/loop carries cost more than the recompute.
-        ixc, iyc = coords(t, ck)
+        # NOTE: carrying the hats across the channel loop as LOOP STATE was
+        # measured SLOWER (413 vs 244 ms on the C=23 fusion shape) — the
+        # (TILE_P, WB) cond/loop carries cost more than the recompute. v8
+        # instead stores them in VMEM scratch at ck==0 (no carries), which
+        # removes the dominant per-step VPU cost for shared grids.
         q = t if shared else s
         y0 = bounds[q, 0]
         x0 = bounds[q, 1]
         fits = bounds[q, 2] == 1
+        if shared:
+            @pl.when(ck == 0)
+            def _():
+                ixc, iyc = coords(t, 0)
+                ry, rx = _hats(ixc, iyc, x0.astype(jnp.float32),
+                               y0.astype(jnp.float32), wb, hb)
+                hats_s[0, :, :hb] = ry
+                hats_s[1, :, :wb] = rx
+        else:
+            ixc, iyc = coords(t, ck)
         step_copy(s).wait()
 
         def bbox(_):
             buf = jax.lax.rem(s, 2)
+            if shared:
+                return _hat_contrib(bufs[buf], hats_s[0, :, :hb],
+                                    hats_s[1, :, :wb], precision)
             return _block_contrib(bufs[buf], ixc, iyc,
                                   x0.astype(jnp.float32),
                                   y0.astype(jnp.float32), wb, hb, precision)
 
         def full_loop(_):
             # hc | h and wc | w (wrapper invariant): exact tiling, no overlap
+            if shared:  # rare path: recompute coords (not kept in scratch)
+                ixc, iyc = coords(t, 0)
+            else:
+                ixc, iyc = coords(t, ck)
 
             n_y = h // hc
             n_x = w // wc
@@ -343,6 +369,10 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
             pltpu.SemaphoreType.DMA,
             # y0, x0, fits — per tile (shared grids) or per step
             pltpu.SMEM((TG if shared else TG * c, 3), jnp.int32),
+            # per-tile hat matrices, shared across the channel loop (v8);
+            # token-sized when grids are per-channel (hats not reusable)
+            pltpu.VMEM((2, TILE_P, max(hb, wb)) if shared else (2, 8, 128),
+                       jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             # one bbox block per (tile, channel) for smooth warps
@@ -358,3 +388,299 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     out = out[:, :, :n_tiles]
     out = _patch_untile(out, ghh, gww)[:, :, :gh, :gw]
     return jnp.moveaxis(out, 1, -1).astype(in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused alpha_ctx warp (multigrid sample + occlusion + flow reduction)
+# ---------------------------------------------------------------------------
+
+
+def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
+                bufs, sems, fb_buf, fb_sem, bounds, tiles_s, *,
+                h, w, c, hb, wb, hc, wc, gh_real, gw_real, sh_real, sw_real,
+                ntx, tp_sz, precision, has_isobj):
+    """Fused kernel for the Warper's alpha_ctx stage (lvd.py:676-695):
+    per-layer bilinear sample of the context-frame alphas along per-layer
+    flows, the ghost mask multiply, the prediction-time occlusion product
+    prod_i (1 - a_i * occ[i, j]), the disocclusion max, and the
+    alpha-weighted flow reduction — all per output tile, so the
+    (B, Tc, Tp, No+1, H, W) alpha tensors are produced occluded in one pass
+    and the per-layer HD flow field is never re-read for the reduction.
+
+    tex rows hold the UNIQUE window frames (b*Tc), not the (b*Tc*Tp)
+    gathered copies: program i reads frame i // tp_sz (valid because the
+    predict path's ctx_ts is arange(Tc) broadcast over Tp — the wrapper
+    asserts this contract).
+
+    Output channels: [0:c] occluded per-layer alphas, [c] disocc max,
+    [c+1] flow_x, [c+2] flow_y (normalized units, g_j - base_grid)."""
+    i = pl.program_id(0)
+    g = pl.program_id(1)
+    fi = i // tp_sz  # unique window-frame row (b*Tc + tc)
+    n_steps = TG * c
+
+    def coords(t, ck):
+        return (_col_from_tile(ix_ref[0, ck, t]),
+                _col_from_tile(iy_ref[0, ck, t]))
+
+    def bounds_body(q, _):
+        t = q // c
+        ck = q % c
+        ixc, iyc = coords(t, ck)
+        ylo = jnp.maximum(jnp.floor(jnp.min(iyc)), 0.0)
+        yhi = jnp.minimum(jnp.floor(jnp.max(iyc)) + 1.0, h - 1.0)
+        xlo = jnp.maximum(jnp.floor(jnp.min(ixc)), 0.0)
+        xhi = jnp.minimum(jnp.floor(jnp.max(ixc)) + 1.0, w - 1.0)
+        y0 = jnp.clip((ylo.astype(jnp.int32) // 8) * 8, 0, h - hb)
+        x0 = jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb)
+        fits = ((yhi.astype(jnp.int32) - y0 < hb)
+                & (xhi.astype(jnp.int32) - x0 < wb))
+        bounds[q, 0] = y0
+        bounds[q, 1] = x0
+        bounds[q, 2] = fits.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, TG * c, bounds_body, 0)
+
+    def step_copy(s):
+        t = s // c
+        ck = s % c
+        y0 = pl.multiple_of(bounds[s, 0], 8)
+        x0 = pl.multiple_of(bounds[s, 1], 128)
+        buf = jax.lax.rem(s, 2)
+        return pltpu.make_async_copy(
+            tex_hbm.at[fi, ck, pl.ds(y0, hb), pl.ds(x0, wb)],
+            bufs.at[buf],
+            sems.at[buf],
+        )
+
+    step_copy(0).start()
+
+    def step_body(s, _):
+        t = s // c
+        ck = s % c
+
+        @pl.when(s + 1 < n_steps)
+        def _():
+            step_copy(s + 1).start()
+
+        ixc, iyc = coords(t, ck)
+        y0 = bounds[s, 0]
+        x0 = bounds[s, 1]
+        fits = bounds[s, 2] == 1
+        step_copy(s).wait()
+
+        def bbox(_):
+            buf = jax.lax.rem(s, 2)
+            return _block_contrib(bufs[buf], ixc, iyc,
+                                  x0.astype(jnp.float32),
+                                  y0.astype(jnp.float32), wb, hb, precision)
+
+        def full_loop(_):
+            n_y = h // hc
+            n_x = w // wc
+
+            def y_body(ky, acc):
+                cy0 = ky * hc
+                any_y = jnp.any((iyc > cy0 - 1.0) & (iyc < cy0 + hc))
+
+                def x_body(kx, acc):
+                    cx0 = kx * wc
+                    active = any_y & jnp.any(
+                        (ixc > cx0 - 1.0) & (ixc < cx0 + wc))
+
+                    def do(acc):
+                        cp = pltpu.make_async_copy(
+                            tex_hbm.at[fi, ck, pl.ds(cy0, hc), pl.ds(cx0, wc)],
+                            fb_buf,
+                            fb_sem,
+                        )
+                        cp.start()
+                        cp.wait()
+                        return acc + _block_contrib(
+                            fb_buf[...], ixc, iyc, jnp.float32(0) + cx0,
+                            jnp.float32(0) + cy0, wc, hc, precision)
+
+                    return jax.lax.cond(active, do, lambda a: a, acc)
+
+                return jax.lax.fori_loop(0, n_x, x_body, acc)
+
+            return jax.lax.fori_loop(0, n_y, y_body,
+                                     jnp.zeros((TILE_P, 1), jnp.float32))
+
+        acc = jax.lax.cond(fits, bbox, full_loop, 0)
+        tile = _tile_from_col(acc, precision)
+        if has_isobj:
+            tile = tile * io_ref[0, ck, t].astype(jnp.float32)
+        tiles_s[ck] = tile
+
+        # -- epilogue once the tile has all layers sampled ----------------
+        @pl.when(ck == c - 1)
+        def _():
+            a = [tiles_s[j] for j in range(c)]
+            dis = a[0]
+            for j in range(1, c):
+                dis = jnp.maximum(dis, a[j])
+            out_ref[0, c, t] = dis
+
+            # output-pixel base grid (pixel centers, get_grid convention);
+            # the padded/duplicate lanes compute croppable junk
+            tg = g * TG + t
+            px = ((tg % ntx) * COLS + _iota((ROWS, COLS), 1)).astype(jnp.float32)
+            py = ((tg // ntx) * ROWS + _iota((ROWS, COLS), 0)).astype(jnp.float32)
+            base_x = (px + 0.5) * (2.0 / gw_real) - 1.0
+            base_y = (py + 0.5) * (2.0 / gh_real) - 1.0
+            fx = jnp.zeros((ROWS, COLS), jnp.float32)
+            fy = jnp.zeros((ROWS, COLS), jnp.float32)
+            for j in range(c):
+                # prediction-time occlusion product over occluders iq
+                pj = 1.0 - a[0] * occ_ref[0, 0, j]
+                for iq in range(1, c):
+                    pj = pj * (1.0 - a[iq] * occ_ref[0, iq, j])
+                aj = pj * a[j]
+                out_ref[0, j, t] = aj
+                # flow_j from this layer's sample coordinates: the wrapper
+                # built ix = (g + 1) * sw/2 - 0.5 with the REAL source dims
+                # (pre-pad), so g_j = (ix + 0.5) * 2/sw - 1 recovers exactly
+                # and the flow needs no extra inputs
+                gx = (ix_ref[0, j, t] + 0.5) * (2.0 / sw_real) - 1.0
+                gy = (iy_ref[0, j, t] + 0.5) * (2.0 / sh_real) - 1.0
+                fx = fx + aj * (gx - base_x)
+                fy = fy + aj * (gy - base_y)
+            out_ref[0, c + 1, t] = fx
+            out_ref[0, c + 2, t] = fy
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tp_sz", "tcp", "precision", "interpret"))
+def warp_alpha_ctx_pallas(alpha, grid, occ, is_obj, *, tp_sz, tcp,
+                          precision="fast", interpret=False):
+    """Fused alpha_ctx warp for the predict path (Warper.grid_to_flow hot
+    stage, reference lvd.py:676-695).
+
+    alpha  (F, H, W, C)      unique window frames (F = B*Tc), channel-last,
+                             frame-occluded per-layer alphas in [0, 1]
+    grid   (N, C, gh, gw, 2) per-layer sample grids, N = B*Tc*Tp ordered
+                             (b, tc, tp) row-major; program n samples frame
+                             n // tp_sz — REQUIRES the predict-path contract
+                             ctx_ts = arange(Tc) broadcast over Tp
+    occ    (N, C, C)         occlusion weights at prediction time
+                             (occ[n, i, j]: layer i occludes j)
+    is_obj (B*Tp, C, gh, gw) ghost-suppression masks or None; program n
+                             reads row (n // tcp) * tp_sz + n % tp_sz
+    tp_sz = Tp, tcp = Tc*Tp (static).
+
+    Returns (alpha_occ (N, gh, gw, C), disocc (N, gh, gw, 1),
+    flow (N, gh, gw, 2)): the occlusion-multiplied per-layer alphas, the
+    pre-occlusion disocclusion max, and the alpha-weighted normalized flow
+    sum_j alpha_occ_j * (g_j - base_grid) — none of the (N, C, gh, gw)
+    intermediates ever materialize in HBM."""
+    f, h, w, c = alpha.shape
+    n = grid.shape[0]
+    assert grid.shape[1] == c and occ.shape == (n, c, c), (grid.shape, occ.shape)
+    assert n == f * tp_sz and tcp % tp_sz == 0, (n, f, tp_sz, tcp)
+    if alpha.dtype != jnp.float32:
+        alpha = alpha.astype(jnp.float32)
+    _, _, gh, gw, _ = grid.shape
+    ix = (grid[..., 0] + 1.0) * (w * 0.5) - 0.5
+    iy = (grid[..., 1] + 1.0) * (h * 0.5) - 0.5
+
+    hh = h + (-h % 8)
+    ww = w + (-w % 128)
+    if (hh, ww) != (h, w):
+        alpha = jnp.pad(alpha, ((0, 0), (0, hh - h), (0, ww - w), (0, 0)))
+    hb = min(hh, HB)
+    wb = min(ww, WB)
+    hc = max(d for d in (64, 32, 16, 8) if hh % d == 0)
+    wc = max(d for d in (WCHUNK, 128) if ww % d == 0)
+
+    ghp, gwp = -gh % ROWS, -gw % COLS
+    if ghp or gwp:
+        pad5 = ((0, 0), (0, 0), (0, ghp), (0, gwp))
+        ix = jnp.pad(ix, pad5, mode="edge")
+        iy = jnp.pad(iy, pad5, mode="edge")
+    ghh, gww = gh + ghp, gw + gwp
+    ix = _patch_tile(ix.reshape(n * c, ghh, gww), ghh, gww)
+    iy = _patch_tile(iy.reshape(n * c, ghh, gww), ghh, gww)
+    n_tiles = ix.shape[1]
+    gpad = -n_tiles % TG
+    if gpad:
+        tpad = ((0, 0), (0, gpad), (0, 0), (0, 0))
+        ix = jnp.pad(ix, tpad, constant_values=-10.0)
+        iy = jnp.pad(iy, tpad, constant_values=-10.0)
+    n_tp = n_tiles + gpad
+    ix = ix.reshape(n, c, n_tp, ROWS, COLS)
+    iy = iy.reshape(n, c, n_tp, ROWS, COLS)
+    n_groups = n_tp // TG
+    tex = jnp.moveaxis(alpha, -1, 1)  # (F, C, H, W)
+
+    has_isobj = is_obj is not None
+    if has_isobj:
+        m = is_obj.shape[0]
+        io = is_obj.astype(jnp.float32)
+        if ghp or gwp:
+            io = jnp.pad(io, ((0, 0), (0, 0), (0, ghp), (0, gwp)), mode="edge")
+        io = _patch_tile(io.reshape(m * c, ghh, gww), ghh, gww)
+        if gpad:
+            io = jnp.pad(io, ((0, 0), (0, gpad), (0, 0), (0, 0)))
+        io = io.reshape(m, c, n_tp, ROWS, COLS)
+        io_map = lambda i, g: ((i // tcp) * tp_sz + i % tp_sz, 0, g, 0, 0)
+    else:
+        io = jnp.zeros((1, 1, 1, ROWS, COLS), jnp.float32)
+        io_map = lambda i, g: (0, 0, 0, 0, 0)
+
+    ntx = gww // COLS
+    prec = "float32" if precision == "float32" else None
+    out = pl.pallas_call(
+        functools.partial(_war_kernel, h=hh, w=ww, c=c, hb=hb, wb=wb, hc=hc,
+                          wc=wc, gh_real=gh, gw_real=gw, sh_real=h, sw_real=w,
+                          ntx=ntx, tp_sz=tp_sz, precision=prec,
+                          has_isobj=has_isobj),
+        grid=(n, n_groups),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, c, TG, ROWS, COLS),
+                         lambda i, g: (i, 0, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, TG, ROWS, COLS),
+                         lambda i, g: (i, 0, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, c), lambda i, g: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, ROWS, COLS) if not has_isobj
+                         else (1, c, TG, ROWS, COLS),
+                         io_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c + 3, TG, ROWS, COLS),
+                               lambda i, g: (i, 0, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c + 3, n_tp, ROWS, COLS),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, hb, wb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((hc, wc), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((TG * c, 3), jnp.int32),
+            pltpu.VMEM((c, ROWS, COLS), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * n_tp * TILE_P * hb * wb
+            // max(hb * wb // (64 * 256), 1),
+            bytes_accessed=n * c * n_tp * (hb * wb + 3 * TILE_P) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tex, ix, iy, occ.astype(jnp.float32), io)
+    out = out[:, :, :n_tiles]
+    out = _patch_untile(out, ghh, gww)[:, :, :gh, :gw]
+    alpha_occ = jnp.moveaxis(out[:, :c], 1, -1)
+    disocc = out[:, c][..., None]
+    flow = jnp.moveaxis(out[:, c + 1:], 1, -1)
+    return alpha_occ, disocc, flow
