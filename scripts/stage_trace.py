@@ -22,13 +22,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = (
+    # leaf scopes first: the matcher takes the FIRST substring hit, and HLO
+    # metadata carries the full nested named_scope path, so parents must
+    # come after every leaf they contain
     "warper/tps_obj", "warper/invert_obj", "warper/tps_bg", "warper/invert_bg",
-    "warper/flow_warp", "warper/alpha_ctx_sample", "warper/context_fusion_sample",
+    "warper/flow_warp", "warper/alpha_ctx_sample", "warper/alpha_ctx_fused",
+    "warper/context_fusion_sample",
     "warper/occ_product_frame", "warper/occ_product_pred", "warper/flow_reduce",
     "warper/flow_upsample", "warper/alpha_upsample", "warper/lyt_refine",
     "warper/fuse_score",
     "lvd/encode_input", "lvd/estimate_layer", "lvd/estimate_pose",
     "lvd/decode_alpha", "wif/fuse_rec", "wif/fuse_pred", "flp/rollout",
+    # parent buckets: whatever their leaves didn't claim
+    "warper/grids", "warper/grid_to_flow", "warper/input_to_output",
+    "decode_output",
 )
 
 
@@ -76,6 +83,7 @@ def main(argv=None):
 
     cfg = _flagship_cfg(dim=128, load_dim=args.load_dim, vid_len=14)
     cfg.compute_dtype = "bfloat16"
+    cfg.model.fast_inverse_warp = True  # bench.py numerics
     syn = Synthesizer(cfg)
     params = syn.init_params(jax.random.PRNGKey(0))
     batch = _batch_for(cfg, b=1)

@@ -13,7 +13,8 @@ v7 (round 2, shaped by on-chip measurement) — pipelined bounding-box blocks:
   precomputed into SMEM, then a flat (tile, channel) loop runs with
   ping-pong DMA: the next step's source block streams from HBM while the
   current step's (TILE_P, HB) @ (HB, WB) MXU dot runs (geometry constants
-  below; retuned on-chip from (16,256)/(128,384) to (32,128)/(160,256)). v6 paid a serialized
+  below; retuned on-chip (16,256)/(128,384) -> (32,128)/(160,256) -> r3:
+  (32,128)/(96,256) after raw-tile bounds). v6 paid a serialized
   compute->scalar->DMA->compute latency chain (~20us) per single-tile
   program; v7 hides it;
 - no (TILE_P, W) buffer ever exists, so VMEM stays small at any source
@@ -50,7 +51,11 @@ ROWS = 32
 COLS = 128
 TILE_P = ROWS * COLS
 TG = 16     # tiles per program (group)
-HB = 160    # bbox block height (rows); sublane-aligned starts
+HB = 96     # bbox block height (rows); sublane-aligned starts. Retuned
+            # 160->96 after the raw-tile bounds change (both HD kernels
+            # ~12% faster; 64 measured no further gain). A 32-row tile
+            # footprint needs y-spread > 55 rows to overflow 96 — such
+            # tiles fall back to the (correct) full-plane loop.
 WB = 256    # bbox block width (cols); lane-aligned starts
 WCHUNK = 256  # fallback loop block width
 
@@ -67,6 +72,8 @@ def _col_from_tile(tile):
     VPU ops — exact, and far cheaper than a K=16 MXU dot."""
     m = pltpu.repeat(tile, TILE_P // ROWS, 0)  # (TILE_P, COLS)
     e = (_iota((TILE_P, COLS), 0) // ROWS == _iota((TILE_P, COLS), 1))
+    # NOTE: replacing this VPU lane reduction with an MXU ones-dot was
+    # measured ~2x SLOWER (the MXU is already saturated by the hat dots)
     return jnp.sum(m * e.astype(jnp.float32), axis=1, keepdims=True)
 
 
@@ -96,7 +103,12 @@ def _hats(ix, iy, x0, y0, wc, hc):
 
 
 def _hat_contrib(tex_b, ry, rx, precision):
-    """((ry @ tex_b) * rx).sum(lanes) -> (TILE_P, 1)."""
+    """((ry @ tex_b) * rx).sum(lanes) -> (TILE_P, 1).
+
+    NOTE: running the lane reduction as an MXU ones-dot was measured SLOWER
+    than this VPU sum in BOTH precisions and in isolation (the MXU->VPU->MXU
+    round-trip serializes against the hat dot); so was pinning f32 on the
+    coordinate conversion dots. Keep the reductions on the VPU."""
     m = jax.lax.dot_general(
         ry, tex_b,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -109,6 +121,47 @@ def _hat_contrib(tex_b, ry, rx, precision):
 def _block_contrib(tex_b, ix, iy, x0, y0, wc, hc, precision):
     """Contribution of source block tex_b (hc, wc) at (y0, x0) to the tile."""
     ry, rx = _hats(ix, iy, x0, y0, wc, hc)
+    return _hat_contrib(tex_b, ry, rx, precision)
+
+
+# --- scratch-hoisted variants (the iota/mask constants these helpers build
+# are loop-invariant, but Mosaic rematerializes them per fori_loop step; in
+# per-channel-grid kernels that build was a dominant per-step VPU cost, so
+# the kernels precompute them ONCE per program into VMEM scratch) ---------
+
+
+def _init_consts(e_s, st_s, ih_s, iw_s):
+    """Fill the constant scratch: E selector (TILE_P, COLS), St scatter
+    (ROWS, TILE_P), and the hat iotas (TILE_P, hb) / (TILE_P, wb)."""
+    e_s[...] = (_iota((TILE_P, COLS), 0) // ROWS
+                == _iota((TILE_P, COLS), 1)).astype(jnp.float32)
+    st_s[...] = (_iota((ROWS, TILE_P), 1) % ROWS
+                 == _iota((ROWS, TILE_P), 0)).astype(jnp.float32)
+    ih_s[...] = _iota(ih_s.shape, 1).astype(jnp.float32)
+    iw_s[...] = _iota(iw_s.shape, 1).astype(jnp.float32)
+
+
+def _col_from_tile_s(tile, e_s):
+    """_col_from_tile with the E selector read from scratch."""
+    m = pltpu.repeat(tile, TILE_P // ROWS, 0)
+    return jnp.sum(m * e_s[...], axis=1, keepdims=True)
+
+
+def _tile_from_col_s(col, st_s, e_s, precision):
+    """_tile_from_col with St/E read from scratch."""
+    return jax.lax.dot_general(
+        st_s[...], col * e_s[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _block_contrib_s(tex_b, ix, iy, x0, y0, ih_s, iw_s, precision):
+    """_block_contrib with hat iotas from scratch: the per-step work drops
+    to two (TILE_P, 1) shifts + the |.|/max hat evaluations."""
+    ry = jnp.maximum(1.0 - jnp.abs((iy - y0) - ih_s[...]), 0.0)
+    rx = jnp.maximum(1.0 - jnp.abs((ix - x0) - iw_s[...]), 0.0)
     return _hat_contrib(tex_b, ry, rx, precision)
 
 
@@ -134,15 +187,21 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
         return (_col_from_tile(ix_ref[0, cc, t]),
                 _col_from_tile(iy_ref[0, cc, t]))
 
-    # -- phase 1: per-tile (or per-step) bbox bounds into SMEM ------------
+    # -- phase 1: per-tile (or per-step) bbox bounds into SMEM -------------
+    # min/max run on the RAW (ROWS, COLS) coordinate tiles: the column
+    # conversion (_col_from_tile, ~0.5M VPU ops each) is order-insensitive
+    # for a reduction, and for per-channel grids this prologue runs once per
+    # (tile, channel) step — converting here doubled the kernel's dominant
+    # per-step VPU cost.
     def bounds_body(q, _):
         t = q if shared else q // c
         ck = 0 if shared else q % c
-        ixc, iyc = coords(t, ck)
-        ylo = jnp.maximum(jnp.floor(jnp.min(iyc)), 0.0)
-        yhi = jnp.minimum(jnp.floor(jnp.max(iyc)) + 1.0, h - 1.0)
-        xlo = jnp.maximum(jnp.floor(jnp.min(ixc)), 0.0)
-        xhi = jnp.minimum(jnp.floor(jnp.max(ixc)) + 1.0, w - 1.0)
+        ixt = ix_ref[0, ck, t]
+        iyt = iy_ref[0, ck, t]
+        ylo = jnp.maximum(jnp.floor(jnp.min(iyt)), 0.0)
+        yhi = jnp.minimum(jnp.floor(jnp.max(iyt)) + 1.0, h - 1.0)
+        xlo = jnp.maximum(jnp.floor(jnp.min(ixt)), 0.0)
+        xhi = jnp.minimum(jnp.floor(jnp.max(ixt)) + 1.0, w - 1.0)
         y0 = jnp.clip((ylo.astype(jnp.int32) // 8) * 8, 0, h - hb)
         x0 = jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb)
         fits = ((yhi.astype(jnp.int32) - y0 < hb)
@@ -276,9 +335,11 @@ def _patch_untile(a, gh, gw):
     return a.reshape(b, c, gh, gw)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+@functools.partial(jax.jit, static_argnames=("precision", "interpret",
+                                             "block_hb"))
 def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
-                       precision: str = "float32", interpret: bool = False):
+                       precision: str = "float32", interpret: bool = False,
+                       block_hb: int | None = None):
     """img (B,H,W,C), grid (B,Ho,Wo,2) or per-channel (B,C,Ho,Wo,2)
     -> (B,Ho,Wo,C); torch zero-pad semantics (align_corners=False).
 
@@ -310,7 +371,7 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     # block geometry: bbox block (hb, wb) <= plane; fallback blocks (hc, wc)
     # exactly tile the plane (divisors), so no overlap double-counts and no
     # fetch overruns
-    hb = min(hh, HB)
+    hb = min(hh, block_hb or HB)
     wb = min(ww, WB)
     hc = max(d for d in (64, 32, 16, 8) if hh % d == 0)
     wc = max(d for d in (WCHUNK, 128) if ww % d == 0)
@@ -396,7 +457,8 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
 
 
 def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
-                bufs, sems, fb_buf, fb_sem, bounds, tiles_s, *,
+                bufs, sems, fb_buf, fb_sem, bounds, tiles_s,
+                e_s, st_s, ih_s, iw_s, *,
                 h, w, c, hb, wb, hc, wc, gh_real, gw_real, sh_real, sw_real,
                 ntx, tp_sz, precision, has_isobj):
     """Fused kernel for the Warper's alpha_ctx stage (lvd.py:676-695):
@@ -418,19 +480,24 @@ def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
     g = pl.program_id(1)
     fi = i // tp_sz  # unique window-frame row (b*Tc + tc)
     n_steps = TG * c
+    _init_consts(e_s, st_s, ih_s, iw_s)
 
     def coords(t, ck):
-        return (_col_from_tile(ix_ref[0, ck, t]),
-                _col_from_tile(iy_ref[0, ck, t]))
+        return (_col_from_tile_s(ix_ref[0, ck, t], e_s),
+                _col_from_tile_s(iy_ref[0, ck, t], e_s))
 
+    # bounds from the RAW (ROWS, COLS) coordinate tiles — reductions are
+    # order-insensitive, and the column conversion here would double the
+    # kernel's dominant per-step VPU cost (see _kernel)
     def bounds_body(q, _):
         t = q // c
         ck = q % c
-        ixc, iyc = coords(t, ck)
-        ylo = jnp.maximum(jnp.floor(jnp.min(iyc)), 0.0)
-        yhi = jnp.minimum(jnp.floor(jnp.max(iyc)) + 1.0, h - 1.0)
-        xlo = jnp.maximum(jnp.floor(jnp.min(ixc)), 0.0)
-        xhi = jnp.minimum(jnp.floor(jnp.max(ixc)) + 1.0, w - 1.0)
+        iyt = iy_ref[0, ck, t]
+        ixt = ix_ref[0, ck, t]
+        ylo = jnp.maximum(jnp.floor(jnp.min(iyt)), 0.0)
+        yhi = jnp.minimum(jnp.floor(jnp.max(iyt)) + 1.0, h - 1.0)
+        xlo = jnp.maximum(jnp.floor(jnp.min(ixt)), 0.0)
+        xhi = jnp.minimum(jnp.floor(jnp.max(ixt)) + 1.0, w - 1.0)
         y0 = jnp.clip((ylo.astype(jnp.int32) // 8) * 8, 0, h - hb)
         x0 = jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb)
         fits = ((yhi.astype(jnp.int32) - y0 < hb)
@@ -472,9 +539,10 @@ def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
 
         def bbox(_):
             buf = jax.lax.rem(s, 2)
-            return _block_contrib(bufs[buf], ixc, iyc,
-                                  x0.astype(jnp.float32),
-                                  y0.astype(jnp.float32), wb, hb, precision)
+            return _block_contrib_s(bufs[buf], ixc, iyc,
+                                    x0.astype(jnp.float32),
+                                    y0.astype(jnp.float32),
+                                    ih_s, iw_s, precision)
 
         def full_loop(_):
             n_y = h // hc
@@ -509,7 +577,7 @@ def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
                                      jnp.zeros((TILE_P, 1), jnp.float32))
 
         acc = jax.lax.cond(fits, bbox, full_loop, 0)
-        tile = _tile_from_col(acc, precision)
+        tile = _tile_from_col_s(acc, st_s, e_s, precision)
         if has_isobj:
             tile = tile * io_ref[0, ck, t].astype(jnp.float32)
         tiles_s[ck] = tile
@@ -555,9 +623,10 @@ def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tp_sz", "tcp", "precision", "interpret"))
+                   static_argnames=("tp_sz", "tcp", "precision", "interpret",
+                                    "block_hb"))
 def warp_alpha_ctx_pallas(alpha, grid, occ, is_obj, *, tp_sz, tcp,
-                          precision="fast", interpret=False):
+                          precision="fast", interpret=False, block_hb=None):
     """Fused alpha_ctx warp for the predict path (Warper.grid_to_flow hot
     stage, reference lvd.py:676-695).
 
@@ -592,7 +661,7 @@ def warp_alpha_ctx_pallas(alpha, grid, occ, is_obj, *, tp_sz, tcp,
     ww = w + (-w % 128)
     if (hh, ww) != (h, w):
         alpha = jnp.pad(alpha, ((0, 0), (0, hh - h), (0, ww - w), (0, 0)))
-    hb = min(hh, HB)
+    hb = min(hh, block_hb or HB)
     wb = min(ww, WB)
     hc = max(d for d in (64, 32, 16, 8) if hh % d == 0)
     wc = max(d for d in (WCHUNK, 128) if ww % d == 0)
@@ -666,6 +735,11 @@ def warp_alpha_ctx_pallas(alpha, grid, occ, is_obj, *, tp_sz, tcp,
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((TG * c, 3), jnp.int32),
             pltpu.VMEM((c, ROWS, COLS), jnp.float32),
+            # hoisted loop-invariant constants (see _init_consts)
+            pltpu.VMEM((TILE_P, COLS), jnp.float32),
+            pltpu.VMEM((ROWS, TILE_P), jnp.float32),
+            pltpu.VMEM((TILE_P, hb), jnp.float32),
+            pltpu.VMEM((TILE_P, wb), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * c * n_tp * TILE_P * hb * wb
