@@ -421,3 +421,31 @@ def test_warp_alpha_ctx_pallas_matches_ref():
             np.testing.assert_allclose(
                 np.asarray(bb), np.asarray(a), atol=2e-5, rtol=1e-4,
                 err_msg=f"{name} {h}x{w}->{gh}x{gw} io={with_io}")
+
+
+def test_warp_alpha_ctx_dispatch_envelope():
+    """Pin the fused-warp routing decisions across the measured envelope
+    (companion of test_grid_sample_dispatch_envelope: drift outside it may
+    cost speed but must never silently change the numerics path)."""
+    from waldo_tpu.ops.grid_sample import warp_auto_impl
+
+    mk = lambda f, h, w, c, n, gh, gw: ((f, h, w, c), (n, c, gh, gw, 2))
+    cases = {
+        # flagship HD predict (c=17 layers, Tc*Tp=40) -> pallas on tpu
+        (mk(4, 512, 1024, 17, 40, 512, 1024) + ("tpu",)): "pallas",
+        # same shape off-tpu -> composition
+        (mk(4, 512, 1024, 17, 40, 512, 1024) + ("cpu",)): "ref",
+        # flagship 256x512 (src*c = 2.2M >= 2^19) -> pallas
+        (mk(4, 256, 512, 17, 40, 256, 512) + ("tpu",)): "pallas",
+        # small source batch -> composition (MXU path wins below 2^19)
+        (mk(4, 64, 128, 8, 40, 64, 128) + ("tpu",)): "ref",
+        # giant source plane -> composition (gather territory)
+        (mk(4, 4096, 2048, 4, 40, 256, 512) + ("tpu",)): "ref",
+        # tiny output grid -> composition (tiles can't amortize)
+        (mk(4, 512, 1024, 17, 40, 64, 128) + ("tpu",)): "ref",
+        # too many programs for the SMEM bounds table -> composition
+        (mk(130, 512, 1024, 17, 260, 512, 1024) + ("tpu",)): "ref",
+    }
+    for (a_s, g_s, backend), want in cases.items():
+        got = warp_auto_impl(a_s, g_s, backend)
+        assert got == want, (a_s, g_s, backend, got, want)

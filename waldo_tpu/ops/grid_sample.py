@@ -253,20 +253,32 @@ def warp_alpha_ctx(alpha_u, grids, occ, is_obj, *, tp_sz, tcp,
     f, h, w, c = alpha_u.shape
     n, gc, gh, gw, _ = grids.shape
     assert gc == c and n == f * tp_sz, (alpha_u.shape, grids.shape, tp_sz)
-    if (
-        _IMPL in ("auto", "pallas")
-        and jax.default_backend() == "tpu"
-        and h * w * c >= (1 << 19)
-        and h * w <= (1 << 22)
-        and gh * gw >= (1 << 15)
-        and n <= 256
-    ):
+    if warp_auto_impl(alpha_u.shape, grids.shape,
+                      jax.default_backend()) == "pallas":
         from .pallas.grid_sample import warp_alpha_ctx_pallas
 
         return warp_alpha_ctx_pallas(alpha_u, grids, occ, is_obj,
                                      tp_sz=tp_sz, tcp=tcp, precision=precision)
     return _warp_alpha_ctx_ref(alpha_u, grids, occ, is_obj,
                                tp_sz=tp_sz, tcp=tcp, precision=precision)
+
+
+def warp_auto_impl(alpha_shape, grid_shape, backend) -> str:
+    """Routing decision for warp_alpha_ctx (mirrors auto_impl; pinned by
+    tests/test_ops_geometry.py so envelope drift can cost speed but never
+    silently change numerics paths)."""
+    f, h, w, c = alpha_shape
+    n, _, gh, gw, _ = grid_shape
+    if (
+        _IMPL in ("auto", "pallas")
+        and backend == "tpu"
+        and h * w * c >= (1 << 19)   # big enough source batch to win
+        and h * w <= (1 << 22)       # beyond: gather path in the composition
+        and gh * gw >= (1 << 15)     # enough output tiles to amortize
+        and n <= 256                 # SMEM bounds table per program
+    ):
+        return "pallas"
+    return "ref"
 
 
 def _warp_alpha_ctx_ref(alpha_u, grids, occ, is_obj, *, tp_sz, tcp,
