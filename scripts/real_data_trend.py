@@ -104,6 +104,7 @@ def latest_tag(save_path, prefix):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--root", type=str, default="/tmp/waldo_real_trend")
     ap.add_argument("--skip_train", action="store_true")
     args = ap.parse_args(argv)
@@ -132,7 +133,7 @@ def main(argv=None):
                         "--s_swap_flt", "true", "--s_mov_obj_thresh", "0.005",
                         "--s_use_dominant_flow_other", "true",
                         "--s_include_self", "true", "--s_reg_bg_mul", "0.25",
-                        "--batch_size_vid", "2"])
+                        "--batch_size_vid", str(args.batch)])
         lvd = latest_tag(save_path, "real_lvd")
         print(f"=== stage 2: FLP (frozen {lvd}) ===", flush=True)
         train_cli.main(["--name", "real_flp", *common,
@@ -148,7 +149,7 @@ def main(argv=None):
                         "--s_bg_mul_pose_decoder", "1.2",
                         "--s_which_iter", "latest",
                         "--s_load_path", f"{save_path}/checkpoints/{lvd}",
-                        "--batch_size_vid", "2"])
+                        "--batch_size_vid", str(args.batch)])
         print("=== stage 3: WIF ===", flush=True)
         train_cli.main(["--name", "real_wif", *common,
                         "--vid_modes", "vid_inpainting",
@@ -157,7 +158,7 @@ def main(argv=None):
                         "--s_vid_inpainting_losses", "sharp_vid",
                         "--s_which_iter", "latest",
                         "--s_load_path", f"{save_path}/checkpoints/{lvd}",
-                        "--batch_size_vid", "2"])
+                        "--batch_size_vid", str(args.batch)])
     lvd = latest_tag(save_path, "real_lvd")
     flp = latest_tag(save_path, "real_flp")
     wif = latest_tag(save_path, "real_wif")

@@ -264,3 +264,39 @@ def test_data_pkl_cache_roundtrip(tmp_path):
     ds2 = create_dataset(cfg2, phase="train")
     assert len(ds2) == n
     assert ds2.data["vid_frame_paths"] == ds.data["vid_frame_paths"]
+
+
+def test_raw_frame_cache_realpath_and_budget(tmp_path):
+    """The decoded-frame cache shares one entry across symlinked paths and
+    evicts FIFO under its byte budget."""
+    import numpy as np
+
+    from waldo_tpu.data.base import _RawFrameCache
+
+    c = _RawFrameCache()
+    c.limit = 3 * 8  # room for three 8-byte entries
+    calls = []
+
+    def loader(p):
+        calls.append(p)
+        return np.zeros(2, np.float32)  # 8 bytes
+
+    real = tmp_path / "real.png"
+    real.write_bytes(b"x")
+    link = tmp_path / "link.png"
+    link.symlink_to(real)
+    a = c.get(str(real), loader)
+    b = c.get(str(link), loader)  # symlink -> same entry, no second decode
+    assert a is b and len(calls) == 1
+
+    c.get(str(tmp_path / "b"), loader)
+    c.get(str(tmp_path / "c"), loader)
+    assert c.bytes == 24 and len(c.store) == 3
+    c.get(str(tmp_path / "d"), loader)  # evicts the oldest (real.png)
+    assert c.bytes == 24 and len(c.store) == 3
+    c.get(str(real), loader)  # re-decode after eviction
+    assert len(calls) == 5  # real, b, c, d, real-again
+
+    # oversized entries pass through uncached
+    big = c.get(str(tmp_path / "big"), lambda p: np.zeros(100, np.float32))
+    assert big.nbytes == 400 and c.bytes <= c.limit

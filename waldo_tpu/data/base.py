@@ -49,6 +49,43 @@ def make_dataset(directory: str, recursive: bool = True) -> List[str]:
     return paths
 
 
+class _RawFrameCache:
+    """Bounded in-memory cache of RAW decoded frames (pre-augmentation).
+
+    Decoding dominates host time when clips revisit frames (small datasets,
+    repeated eval of one val clip, few-sequence corpora): PNG decode of a
+    512-res frame costs ~40-75 ms/modality on one core while every
+    augmented view reuses the same raw pixels. The reference reaches for
+    the same remedy with its data pickle cache (base_dataset.py:29-37);
+    here the cache is transparent and byte-bounded (WALDO_FRAME_CACHE_MB,
+    default 512, 0 disables). FIFO eviction; entries are read-only by
+    convention (every consumer copies via astype/multiply before mutating).
+    Thread-safe under the GIL for the loader's thread pool (worst case a
+    duplicate decode)."""
+
+    def __init__(self):
+        limit_mb = float(os.environ.get("WALDO_FRAME_CACHE_MB", "512"))
+        self.limit = int(limit_mb * 1e6)
+        self.store: Dict[str, np.ndarray] = {}
+        self.bytes = 0
+
+    def get(self, path: str, loader):
+        path = os.path.realpath(path)  # symlink farms share one entry
+        arr = self.store.get(path)
+        if arr is None:
+            arr = loader(path)
+            if self.limit > 0 and arr.nbytes < self.limit:
+                while self.bytes + arr.nbytes > self.limit and self.store:
+                    old = self.store.pop(next(iter(self.store)))  # FIFO
+                    self.bytes -= old.nbytes
+                self.store[path] = arr
+                self.bytes += arr.nbytes
+        return arr
+
+
+_FRAME_CACHE = _RawFrameCache()
+
+
 def _resize(arr: np.ndarray, size, method=PIL.Image.BILINEAR) -> np.ndarray:
     """Resize (H, W, C) float array channel-by-channel via PIL bilinear."""
     h, w = size
@@ -217,7 +254,8 @@ class BaseVideoDataset:
     def load_rgb(self, path: str, aug: AugmentParams) -> np.ndarray:
         from . import native
 
-        raw = np.asarray(PIL.Image.open(path).convert("RGB"))
+        raw = _FRAME_CACHE.get(
+            path, lambda p: np.asarray(PIL.Image.open(p).convert("RGB")))
         if aug.jitter is None and native.available():
             size = (self.dim, int(self.dim * self.cfg.aspect_ratio))
             out = native.rgb_transform(raw, aug.top_crop, aug.left_crop,
@@ -230,7 +268,9 @@ class BaseVideoDataset:
         from . import native
 
         d = self.cfg.data
-        lyt = np.asarray(PIL.Image.open(path), np.int64)
+        lyt = _FRAME_CACHE.get(
+            path, lambda p: np.asarray(PIL.Image.open(p), np.int32))
+        lyt = lyt.astype(np.int64)
         if lyt.ndim == 3:
             lyt = lyt[..., 0]
         size = (self.dim, int(self.dim * self.cfg.aspect_ratio))
@@ -255,7 +295,7 @@ class BaseVideoDataset:
         from . import native
 
         cfg = self.cfg
-        flow = read_flo(path)  # (H, W, 2) raw px
+        flow = _FRAME_CACHE.get(path, read_flo)  # (H, W, 2) raw px
         h, w = flow.shape[:2]
         # flow files may live at their own resolution (flow_dim); crop in
         # their own pixel space, scaled from true_dim coordinates
