@@ -41,6 +41,7 @@ Mosaic hardware constraints (discovered on-chip; interpret mode hides them):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -166,7 +167,8 @@ def _block_contrib_s(tex_b, ix, iy, x0, y0, ih_s, iw_s, precision):
 
 
 def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
-            bounds, hats_s, *, h, w, c, hb, wb, hc, wc, precision, shared):
+            bounds, hats_s, *, h, w, c, hb, wb, hc, wc, precision, shared,
+            kc=1):
     """shared=True: one grid per image, all channels sample along it (ctx
     fusion). shared=False: per-channel grids (the alpha_ctx warp: each
     layer-alpha plane rides its own flow) — bounds are then per step.
@@ -177,10 +179,22 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
     instead of once per (tile, channel) step. The earlier attempt carried
     hats as loop state (slower, see NOTE below); scratch refs avoid the
     carry entirely. Measured on the HD C=23 fusion shape this per-step VPU
-    cost (~3.5us of iota/abs/max + repeat/mask ops) dominated the kernel."""
+    cost (~3.5us of iota/abs/max + repeat/mask ops) dominated the kernel.
+
+    v9 (shared only): each step processes a BLOCK of kc channels — one DMA
+    brings (kc, hb, wb), the loop runs TG * ceil(c/kc) steps, amortizing
+    the per-step fixed cost (cond/SMEM/semaphore) kc-fold. The tail block
+    is clamped to start at c-kc: the overlapped channels recompute the same
+    values into the same out slots (idempotent)."""
     i = pl.program_id(0)
-    n_steps = TG * c
+    nblk = -(-c // kc) if shared else c
+    n_steps = TG * nblk
     n_bounds = TG if shared else TG * c
+
+    def chan_start(blk):
+        if kc == 1:
+            return blk
+        return jnp.minimum(blk * kc, c - kc)
 
     def coords(t, ck):
         cc = 0 if shared else ck
@@ -215,15 +229,16 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
 
     # -- DMA helpers ------------------------------------------------------
     def step_copy(s):
-        """Copy descriptor for step s (tile s // c, channel s % c)."""
-        t = s // c
-        ck = s % c
+        """Copy descriptor for step s (tile s // nblk, channel block
+        s % nblk: kc planes from chan_start)."""
+        t = s // nblk
+        cs = chan_start(s % nblk)
         q = t if shared else s
         y0 = pl.multiple_of(bounds[q, 0], 8)
         x0 = pl.multiple_of(bounds[q, 1], 128)
         buf = jax.lax.rem(s, 2)
         return pltpu.make_async_copy(
-            tex_hbm.at[i, ck, pl.ds(y0, hb), pl.ds(x0, wb)],
+            tex_hbm.at[i, pl.ds(cs, kc), pl.ds(y0, hb), pl.ds(x0, wb)],
             bufs.at[buf],
             sems.at[buf],
         )
@@ -231,12 +246,13 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
     def start(s):
         step_copy(s).start()
 
-    # -- phase 2: flat (tile, channel) loop, ping-pong DMA ----------------
+    # -- phase 2: flat (tile, channel-block) loop, ping-pong DMA -----------
     start(0)
 
     def step_body(s, _):
-        t = s // c
-        ck = s % c
+        t = s // nblk
+        blk = s % nblk
+        cs = chan_start(blk)
 
         @pl.when(s + 1 < n_steps)
         def _():
@@ -252,7 +268,7 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
         x0 = bounds[q, 1]
         fits = bounds[q, 2] == 1
         if shared:
-            @pl.when(ck == 0)
+            @pl.when(blk == 0)
             def _():
                 ixc, iyc = coords(t, 0)
                 ry, rx = _hats(ixc, iyc, x0.astype(jnp.float32),
@@ -260,15 +276,17 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
                 hats_s[0, :, :hb] = ry
                 hats_s[1, :, :wb] = rx
         else:
-            ixc, iyc = coords(t, ck)
+            ixc, iyc = coords(t, blk)
         step_copy(s).wait()
 
         def bbox(_):
             buf = jax.lax.rem(s, 2)
             if shared:
-                return _hat_contrib(bufs[buf], hats_s[0, :, :hb],
-                                    hats_s[1, :, :wb], precision)
-            return _block_contrib(bufs[buf], ixc, iyc,
+                cols = [_hat_contrib(bufs[buf, j], hats_s[0, :, :hb],
+                                     hats_s[1, :, :wb], precision)
+                        for j in range(kc)]
+                return jnp.concatenate(cols, axis=1) if kc > 1 else cols[0]
+            return _block_contrib(bufs[buf, 0], ixc, iyc,
                                   x0.astype(jnp.float32),
                                   y0.astype(jnp.float32), wb, hb, precision)
 
@@ -277,7 +295,7 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
             if shared:  # rare path: recompute coords (not kept in scratch)
                 ixc, iyc = coords(t, 0)
             else:
-                ixc, iyc = coords(t, ck)
+                ixc, iyc = coords(t, blk)
 
             n_y = h // hc
             n_x = w // wc
@@ -293,26 +311,33 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
 
                     def do(acc):
                         cp = pltpu.make_async_copy(
-                            tex_hbm.at[i, ck, pl.ds(cy0, hc), pl.ds(cx0, wc)],
+                            tex_hbm.at[i, pl.ds(cs, kc),
+                                       pl.ds(cy0, hc), pl.ds(cx0, wc)],
                             fb_buf,
                             fb_sem,
                         )
                         cp.start()
                         cp.wait()
-                        return acc + _block_contrib(
-                            fb_buf[...], ixc, iyc, jnp.float32(0) + cx0,
-                            jnp.float32(0) + cy0, wc, hc, precision)
+                        parts = [
+                            _block_contrib(
+                                fb_buf[j], ixc, iyc, jnp.float32(0) + cx0,
+                                jnp.float32(0) + cy0, wc, hc, precision)
+                            for j in range(kc)
+                        ]
+                        return acc + (jnp.concatenate(parts, axis=1)
+                                      if kc > 1 else parts[0])
 
                     return jax.lax.cond(active, do, lambda a: a, acc)
 
                 return jax.lax.fori_loop(0, n_x, x_body, acc)
 
             return jax.lax.fori_loop(0, n_y, y_body,
-                                     jnp.zeros((TILE_P, 1), jnp.float32))
+                                     jnp.zeros((TILE_P, kc), jnp.float32))
 
         acc = jax.lax.cond(fits, bbox, full_loop, 0)
-        out_ref[0, ck, t] = _tile_from_col(
-            acc, "float32" if precision == "float32" else None)
+        out_prec = "float32" if precision == "float32" else None
+        for j in range(kc):
+            out_ref[0, cs + j, t] = _tile_from_col(acc[:, j:j + 1], out_prec)
         return 0
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
@@ -404,9 +429,13 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     tex = jnp.moveaxis(img, -1, 1)  # (B, C, H, W)
 
     prec = "float32" if precision == "float32" else None
+    # v9: shared grids process channel BLOCKS per step (one DMA, 1/kc the
+    # loop overhead); per-channel grids keep kc=1. Off by default until the
+    # on-chip measurement lands (interpret parity is green).
+    kc = min(int(os.environ.get("WALDO_PALLAS_KC", "1")), c) if shared else 1
     out = pl.pallas_call(
         functools.partial(_kernel, h=hh, w=ww, c=c, hb=hb, wb=wb, hc=hc,
-                          wc=wc, precision=prec, shared=shared),
+                          wc=wc, precision=prec, shared=shared, kc=kc),
         grid=(b, n_groups),
         in_specs=[
             # the source stays in HBM; the kernel DMAs only the blocks it
@@ -424,9 +453,9 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, n_tp, ROWS, COLS), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, hb, wb), jnp.float32),       # ping-pong blocks
+            pltpu.VMEM((2, kc, hb, wb), jnp.float32),   # ping-pong blocks
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((hc, wc), jnp.float32),          # fallback block
+            pltpu.VMEM((kc, hc, wc), jnp.float32),      # fallback block
             pltpu.SemaphoreType.DMA,
             # y0, x0, fits — per tile (shared grids) or per step
             pltpu.SMEM((TG if shared else TG * c, 3), jnp.int32),
