@@ -107,6 +107,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--root", type=str, default="/tmp/waldo_real_trend")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--stages", type=str, default="lvd,flp,wif",
+                    help="comma list of train stages to (re)run")
     args = ap.parse_args(argv)
     dataroot = os.path.join(args.root, "data")
     save_path = os.path.join(args.root, "run")
@@ -115,11 +117,58 @@ def main(argv=None):
     save_freq = max(iters // 4, 1)
     common = common_flags(dataroot, save_path, iters, save_freq)
 
-    from waldo_tpu.cli import train as train_cli
-    from waldo_tpu.cli import test as test_cli
+    import subprocess
+
     from waldo_tpu.eval import metrics as metrics_cli
 
-    if not args.skip_train:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # PREPEND to PYTHONPATH: clobbering it drops /root/.axon_site, the site
+    # hook that registers the axon TPU platform — subprocesses then die with
+    # "Unable to initialize backend 'axon'"
+    pypath = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, PYTHONPATH=pypath.rstrip(os.pathsep),
+               JAX_COMPILATION_CACHE_DIR=os.path.expanduser("~/.cache/waldo_jax"))
+
+    def run_cli(module, argv, retries=3, pre=None):
+        """Each train/test run gets a FRESH process: the axon tunnel client
+        leaks host buffers per dispatch (~10 GB/h) and iteration time
+        degrades 2x-6x over a long in-process multi-stage run.
+
+        Transient tunnel outages (axon backend briefly unregistered) kill a
+        subprocess at startup or mid-run; retry after a cooldown. Train runs
+        resume in place via --cont_train when the crashed attempt already
+        wrote checkpoints."""
+        import glob as _glob
+        import time as _time
+
+        for attempt in range(retries + 1):
+            extra = []
+            if attempt and module.endswith(".train"):
+                name = argv[argv.index("--name") + 1]
+                if _glob.glob(f"{save_path}/checkpoints/*-{name}"):
+                    extra = ["--cont_train"]
+            if pre is not None:
+                pre()
+            try:
+                subprocess.run([sys.executable, "-u", "-m", module,
+                                *argv, *extra], check=True, env=env, cwd=repo)
+                return
+            except subprocess.CalledProcessError:
+                if attempt == retries:
+                    raise
+                print(f"[trend] {module} failed (attempt {attempt + 1}/"
+                      f"{retries + 1}); retrying in 120s", flush=True)
+                _time.sleep(120)
+
+    class train_cli:
+        main = staticmethod(lambda argv: run_cli("waldo_tpu.cli.train", argv))
+
+    class test_cli:
+        main = staticmethod(
+            lambda argv, pre=None: run_cli("waldo_tpu.cli.test", argv, pre=pre))
+
+    stages = set(args.stages.split(","))
+    if not args.skip_train and "lvd" in stages:
         print("=== stage 1: LVD (real demo clip) ===", flush=True)
         train_cli.main(["--name", "real_lvd", *common,
                         "--vid_modes", "vid_object_extractor",
@@ -134,6 +183,7 @@ def main(argv=None):
                         "--s_use_dominant_flow_other", "true",
                         "--s_include_self", "true", "--s_reg_bg_mul", "0.25",
                         "--batch_size_vid", str(args.batch)])
+    if not args.skip_train and "flp" in stages:
         lvd = latest_tag(save_path, "real_lvd")
         print(f"=== stage 2: FLP (frozen {lvd}) ===", flush=True)
         train_cli.main(["--name", "real_flp", *common,
@@ -150,6 +200,8 @@ def main(argv=None):
                         "--s_which_iter", "latest",
                         "--s_load_path", f"{save_path}/checkpoints/{lvd}",
                         "--batch_size_vid", str(args.batch)])
+    if not args.skip_train and "wif" in stages:
+        lvd = latest_tag(save_path, "real_lvd")
         print("=== stage 3: WIF ===", flush=True)
         train_cli.main(["--name", "real_wif", *common,
                         "--vid_modes", "vid_inpainting",
@@ -168,14 +220,17 @@ def main(argv=None):
     for s in steps:
         name = f"real_eval_{s}"
         # each run stamps a fresh datetime signature: drop stale result dirs
-        # or the metrics CLI's ambiguous-tag assert fires on re-runs
+        # (also before each retry) or the metrics CLI's ambiguous-tag assert
+        # fires on re-runs
         import glob as _glob
         import shutil as _shutil
 
-        for stale in _glob.glob(f"{save_path}/results/*{name}"):
-            _shutil.rmtree(stale, ignore_errors=True)
+        def _clean(name=name):
+            for stale in _glob.glob(f"{save_path}/results/*{name}"):
+                _shutil.rmtree(stale, ignore_errors=True)
+
         print(f"=== eval checkpoint {s} ===", flush=True)
-        test_cli.main(["--name", name, *common,
+        test_cli.main(pre=_clean, argv=["--name", name, *common,
                        "--vid_modes", "vid_prediction",
                        "--s_use_pg", "true", "--s_use_ii", "true",
                        "--s_ii_depth", "6", "--s_ii_score", "true",

@@ -177,7 +177,12 @@ class Trainer:
         self._best_vid = None
         start_iter = 0
         if cfg.cont_train:
-            it = self.ckpt.latest_iter("pe")
+            # resume from the net this run actually trains: an FLP/WIF run
+            # dir holds pg_*/ii_* slots only, so keying off "pe" restarted
+            # those stages from 0
+            nets = [self._steps[m][0] for m in self._train_modes
+                    if m in self._steps]
+            it = self.ckpt.latest_iter(nets[0] if nets else "pe")
             start_iter = (it + 1) if it is not None else 0
 
         rng = jax.random.PRNGKey(cfg.seed + 1)
