@@ -405,11 +405,23 @@ def test_warp_alpha_ctx_pallas_matches_ref():
     rng = np.random.RandomState(7)
     b, tc, tp, c = 1, 2, 2, 3
     f, n, tcp = b * tc, b * tc * tp, tc * tp
-    for (h, w, gh, gw), with_io in [((32, 128, 40, 130), True),
-                                    ((24, 96, 32, 128), False)]:
+    for (h, w, gh, gw), with_io, sparse in [((32, 128, 40, 130), True, False),
+                                            ((24, 96, 32, 128), False, False),
+                                            ((32, 128, 64, 128), True, True)]:
         alpha = jnp.asarray(rng.rand(f, h, w, c).astype(np.float32))
+        if sparse:
+            # exercise the v10 sparsity skip: channel 1 zero outside a
+            # small quad (an object's warped footprint), channel 2 all-zero
+            a = np.asarray(alpha).copy()
+            a[:, :, :, 1] = 0.0
+            a[:, 8:20, 32:80, 1] = rng.rand(f, 12, 48)
+            a[:, :, :, 2] = 0.0
+            alpha = jnp.asarray(a)
         grids = jnp.asarray(
             (rng.rand(n, c, gh, gw, 2) * 2.4 - 1.2).astype(np.float32))
+        if sparse:
+            # a fully out-of-range per-layer grid (skips via empty footprint)
+            grids = grids.at[:2, 0].add(4.0)
         occ = jnp.asarray(rng.rand(n, c, c).astype(np.float32))
         io = (jnp.asarray((rng.rand(b * tp, c, gh, gw) > 0.3)
                           .astype(np.float32)) if with_io else None)
@@ -420,7 +432,8 @@ def test_warp_alpha_ctx_pallas_matches_ref():
         for name, a, bb in zip(("alpha_occ", "disocc", "flow"), want, got):
             np.testing.assert_allclose(
                 np.asarray(bb), np.asarray(a), atol=2e-5, rtol=1e-4,
-                err_msg=f"{name} {h}x{w}->{gh}x{gw} io={with_io}")
+                err_msg=f"{name} {h}x{w}->{gh}x{gw} io={with_io} "
+                        f"sparse={sparse}")
 
 
 def test_warp_alpha_ctx_dispatch_envelope():

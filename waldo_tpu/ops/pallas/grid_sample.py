@@ -166,8 +166,8 @@ def _block_contrib_s(tex_b, ix, iy, x0, y0, ih_s, iw_s, precision):
     return _hat_contrib(tex_b, ry, rx, precision)
 
 
-def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
-            bounds, hats_s, *, h, w, c, hb, wb, hc, wc, precision, shared,
+def _kernel(tex_hbm, ix_ref, iy_ref, bnd_ref, out_ref, bufs, sems, fb_buf,
+            fb_sem, hats_s, *, h, w, c, hb, wb, hc, wc, precision, shared,
             kc=1):
     """shared=True: one grid per image, all channels sample along it (ctx
     fusion). shared=False: per-channel grids (the alpha_ctx warp: each
@@ -185,11 +185,17 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
     brings (kc, hb, wb), the loop runs TG * ceil(c/kc) steps, amortizing
     the per-step fixed cost (cond/SMEM/semaphore) kc-fold. The tail block
     is clamped to start at c-kc: the overlapped channels recompute the same
-    values into the same out slots (idempotent)."""
+    values into the same out slots (idempotent).
+
+    v10: bounds [y0, x0, fits, skip] arrive precomputed in SMEM (bnd_ref,
+    (1, TG, gc, 4) with gc = 1 for shared grids) — see _host_bounds /
+    _skip_flags. Skipped steps (provably all-zero output: empty footprint,
+    group-pad sentinel tiles, or an all-zero source region — the alpha
+    planes of the training-path multigrid warp) write zero tiles with no
+    DMA / hats / dot."""
     i = pl.program_id(0)
     nblk = -(-c // kc) if shared else c
     n_steps = TG * nblk
-    n_bounds = TG if shared else TG * c
 
     def chan_start(blk):
         if kc == 1:
@@ -201,41 +207,21 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
         return (_col_from_tile(ix_ref[0, cc, t]),
                 _col_from_tile(iy_ref[0, cc, t]))
 
-    # -- phase 1: per-tile (or per-step) bbox bounds into SMEM -------------
-    # min/max run on the RAW (ROWS, COLS) coordinate tiles: the column
-    # conversion (_col_from_tile, ~0.5M VPU ops each) is order-insensitive
-    # for a reduction, and for per-channel grids this prologue runs once per
-    # (tile, channel) step — converting here doubled the kernel's dominant
-    # per-step VPU cost.
-    def bounds_body(q, _):
-        t = q if shared else q // c
-        ck = 0 if shared else q % c
-        ixt = ix_ref[0, ck, t]
-        iyt = iy_ref[0, ck, t]
-        ylo = jnp.maximum(jnp.floor(jnp.min(iyt)), 0.0)
-        yhi = jnp.minimum(jnp.floor(jnp.max(iyt)) + 1.0, h - 1.0)
-        xlo = jnp.maximum(jnp.floor(jnp.min(ixt)), 0.0)
-        xhi = jnp.minimum(jnp.floor(jnp.max(ixt)) + 1.0, w - 1.0)
-        y0 = jnp.clip((ylo.astype(jnp.int32) // 8) * 8, 0, h - hb)
-        x0 = jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb)
-        fits = ((yhi.astype(jnp.int32) - y0 < hb)
-                & (xhi.astype(jnp.int32) - x0 < wb))
-        bounds[q, 0] = y0
-        bounds[q, 1] = x0
-        bounds[q, 2] = fits.astype(jnp.int32)
-        return 0
+    def bnd(s, j):
+        t = s // nblk
+        ck = 0 if shared else s % c
+        return bnd_ref[0, t, ck, j]
 
-    jax.lax.fori_loop(0, n_bounds, bounds_body, 0)
+    def live(s):
+        return bnd(s, 3) == 0
 
     # -- DMA helpers ------------------------------------------------------
     def step_copy(s):
         """Copy descriptor for step s (tile s // nblk, channel block
         s % nblk: kc planes from chan_start)."""
-        t = s // nblk
         cs = chan_start(s % nblk)
-        q = t if shared else s
-        y0 = pl.multiple_of(bounds[q, 0], 8)
-        x0 = pl.multiple_of(bounds[q, 1], 128)
+        y0 = pl.multiple_of(bnd(s, 0), 8)
+        x0 = pl.multiple_of(bnd(s, 1), 128)
         buf = jax.lax.rem(s, 2)
         return pltpu.make_async_copy(
             tex_hbm.at[i, pl.ds(cs, kc), pl.ds(y0, hb), pl.ds(x0, wb)],
@@ -243,98 +229,104 @@ def _kernel(tex_hbm, ix_ref, iy_ref, out_ref, bufs, sems, fb_buf, fb_sem,
             sems.at[buf],
         )
 
-    def start(s):
-        step_copy(s).start()
-
-    # -- phase 2: flat (tile, channel-block) loop, ping-pong DMA -----------
-    start(0)
+    # -- flat (tile, channel-block) loop, ping-pong DMA --------------------
+    @pl.when(live(0))
+    def _():
+        step_copy(0).start()
 
     def step_body(s, _):
         t = s // nblk
         blk = s % nblk
         cs = chan_start(blk)
 
-        @pl.when(s + 1 < n_steps)
+        @pl.when((s + 1 < n_steps) & live(jnp.minimum(s + 1, n_steps - 1)))
         def _():
-            start(s + 1)
+            step_copy(s + 1).start()
 
         # NOTE: carrying the hats across the channel loop as LOOP STATE was
         # measured SLOWER (413 vs 244 ms on the C=23 fusion shape) — the
         # (TILE_P, WB) cond/loop carries cost more than the recompute. v8
         # instead stores them in VMEM scratch at ck==0 (no carries), which
         # removes the dominant per-step VPU cost for shared grids.
-        q = t if shared else s
-        y0 = bounds[q, 0]
-        x0 = bounds[q, 1]
-        fits = bounds[q, 2] == 1
-        if shared:
-            @pl.when(blk == 0)
-            def _():
-                ixc, iyc = coords(t, 0)
-                ry, rx = _hats(ixc, iyc, x0.astype(jnp.float32),
-                               y0.astype(jnp.float32), wb, hb)
-                hats_s[0, :, :hb] = ry
-                hats_s[1, :, :wb] = rx
-        else:
-            ixc, iyc = coords(t, blk)
-        step_copy(s).wait()
+        y0 = bnd(s, 0)
+        x0 = bnd(s, 1)
+        fits = bnd(s, 2) == 1
 
-        def bbox(_):
-            buf = jax.lax.rem(s, 2)
+        def sample(_):
             if shared:
-                cols = [_hat_contrib(bufs[buf, j], hats_s[0, :, :hb],
-                                     hats_s[1, :, :wb], precision)
-                        for j in range(kc)]
-                return jnp.concatenate(cols, axis=1) if kc > 1 else cols[0]
-            return _block_contrib(bufs[buf, 0], ixc, iyc,
-                                  x0.astype(jnp.float32),
-                                  y0.astype(jnp.float32), wb, hb, precision)
-
-        def full_loop(_):
-            # hc | h and wc | w (wrapper invariant): exact tiling, no overlap
-            if shared:  # rare path: recompute coords (not kept in scratch)
-                ixc, iyc = coords(t, 0)
+                @pl.when(blk == 0)
+                def _():
+                    ixc, iyc = coords(t, 0)
+                    ry, rx = _hats(ixc, iyc, x0.astype(jnp.float32),
+                                   y0.astype(jnp.float32), wb, hb)
+                    hats_s[0, :, :hb] = ry
+                    hats_s[1, :, :wb] = rx
             else:
                 ixc, iyc = coords(t, blk)
+            step_copy(s).wait()
 
-            n_y = h // hc
-            n_x = w // wc
+            def bbox(_):
+                buf = jax.lax.rem(s, 2)
+                if shared:
+                    cols = [_hat_contrib(bufs[buf, j], hats_s[0, :, :hb],
+                                         hats_s[1, :, :wb], precision)
+                            for j in range(kc)]
+                    return jnp.concatenate(cols, axis=1) if kc > 1 else cols[0]
+                return _block_contrib(bufs[buf, 0], ixc, iyc,
+                                      x0.astype(jnp.float32),
+                                      y0.astype(jnp.float32), wb, hb,
+                                      precision)
 
-            def y_body(ky, acc):
-                cy0 = ky * hc
-                any_y = jnp.any((iyc > cy0 - 1.0) & (iyc < cy0 + hc))
+            def full_loop(_):
+                # hc | h, wc | w (wrapper invariant): exact tiling, no overlap
+                if shared:  # rare path: recompute coords (not kept in scratch)
+                    ixc, iyc = coords(t, 0)
+                else:
+                    ixc, iyc = coords(t, blk)
 
-                def x_body(kx, acc):
-                    cx0 = kx * wc
-                    active = any_y & jnp.any(
-                        (ixc > cx0 - 1.0) & (ixc < cx0 + wc))
+                n_y = h // hc
+                n_x = w // wc
 
-                    def do(acc):
-                        cp = pltpu.make_async_copy(
-                            tex_hbm.at[i, pl.ds(cs, kc),
-                                       pl.ds(cy0, hc), pl.ds(cx0, wc)],
-                            fb_buf,
-                            fb_sem,
-                        )
-                        cp.start()
-                        cp.wait()
-                        parts = [
-                            _block_contrib(
-                                fb_buf[j], ixc, iyc, jnp.float32(0) + cx0,
-                                jnp.float32(0) + cy0, wc, hc, precision)
-                            for j in range(kc)
-                        ]
-                        return acc + (jnp.concatenate(parts, axis=1)
-                                      if kc > 1 else parts[0])
+                def y_body(ky, acc):
+                    cy0 = ky * hc
+                    any_y = jnp.any((iyc > cy0 - 1.0) & (iyc < cy0 + hc))
 
-                    return jax.lax.cond(active, do, lambda a: a, acc)
+                    def x_body(kx, acc):
+                        cx0 = kx * wc
+                        active = any_y & jnp.any(
+                            (ixc > cx0 - 1.0) & (ixc < cx0 + wc))
 
-                return jax.lax.fori_loop(0, n_x, x_body, acc)
+                        def do(acc):
+                            cp = pltpu.make_async_copy(
+                                tex_hbm.at[i, pl.ds(cs, kc),
+                                           pl.ds(cy0, hc), pl.ds(cx0, wc)],
+                                fb_buf,
+                                fb_sem,
+                            )
+                            cp.start()
+                            cp.wait()
+                            parts = [
+                                _block_contrib(
+                                    fb_buf[j], ixc, iyc,
+                                    jnp.float32(0) + cx0,
+                                    jnp.float32(0) + cy0, wc, hc, precision)
+                                for j in range(kc)
+                            ]
+                            return acc + (jnp.concatenate(parts, axis=1)
+                                          if kc > 1 else parts[0])
 
-            return jax.lax.fori_loop(0, n_y, y_body,
-                                     jnp.zeros((TILE_P, kc), jnp.float32))
+                        return jax.lax.cond(active, do, lambda a: a, acc)
 
-        acc = jax.lax.cond(fits, bbox, full_loop, 0)
+                    return jax.lax.fori_loop(0, n_x, x_body, acc)
+
+                return jax.lax.fori_loop(0, n_y, y_body,
+                                         jnp.zeros((TILE_P, kc), jnp.float32))
+
+            return jax.lax.cond(fits, bbox, full_loop, 0)
+
+        acc = jax.lax.cond(
+            live(s), sample,
+            lambda _: jnp.zeros((TILE_P, kc), jnp.float32), 0)
         out_prec = "float32" if precision == "float32" else None
         for j in range(kc):
             out_ref[0, cs + j, t] = _tile_from_col(acc[:, j:j + 1], out_prec)
@@ -428,11 +420,31 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     n_groups = n_tp // TG
     tex = jnp.moveaxis(img, -1, 1)  # (B, C, H, W)
 
+    # v10: bounds + sparsity skip precomputed host-side (XLA-batched; the
+    # in-kernel phase-1 loop ran the same reductions serially). For shared
+    # grids the skip is per TILE (empty/sentinel footprint, or every
+    # channel zero over it); per-channel grids skip per (tile, channel) —
+    # the training-path alpha warp's planes are mostly zeros.
+    bnd3, footprint = _host_bounds(ix, iy, hh, ww, hb, wb)  # (B, gc, n_tp, 3)
+    rows = jnp.arange(b, dtype=jnp.int32)
+    if shared:
+        nz_any = (tex != 0).any(axis=1, keepdims=True).astype(jnp.float32)
+        skip = _skip_flags(nz_any, footprint, rows)  # (B, 1, n_tp)
+    else:
+        skip = _skip_flags(tex, footprint, rows)  # (B, C, n_tp)
+    bnd = jnp.concatenate([bnd3, skip[..., None]], axis=-1)
+    bnd = jnp.moveaxis(bnd, 1, 2)  # (B, n_tp, gc, 4)
+
     prec = "float32" if precision == "float32" else None
     # v9: shared grids process channel BLOCKS per step (one DMA, 1/kc the
-    # loop overhead); per-channel grids keep kc=1. Off by default until the
-    # on-chip measurement lands (interpret parity is green).
-    kc = min(int(os.environ.get("WALDO_PALLAS_KC", "1")), c) if shared else 1
+    # loop overhead); per-channel grids keep kc=1. Measured on-chip at the
+    # HD C=23 fusion shape: kc=1 4311 / 2 2388 / 4 1413 / 8 941 / 16 1083 /
+    # 23 837 ms — monotone except kc=16, whose clamped tail block recomputes
+    # 9 of 23 channels. Default: ALL channels in one step (capped at 32 to
+    # bound the unrolled per-step dot chain and the 2*kc*hb*wb VMEM).
+    kc_default = -(-c // -(-c // 32))  # even split: no clamped-tail overlap
+    kc = min(int(os.environ.get("WALDO_PALLAS_KC", str(kc_default))),
+             c) if shared else 1
     out = pl.pallas_call(
         functools.partial(_kernel, h=hh, w=ww, c=c, hb=hb, wb=wb, hc=hc,
                           wc=wc, precision=prec, shared=shared, kc=kc),
@@ -447,6 +459,8 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
             pl.BlockSpec((1, gc, TG, ROWS, COLS),
                          lambda i, g: (i, 0, g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TG, gc, 4), lambda i, g: (i, g, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, c, TG, ROWS, COLS),
                                lambda i, g: (i, 0, g, 0, 0),
@@ -457,8 +471,6 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((kc, hc, wc), jnp.float32),      # fallback block
             pltpu.SemaphoreType.DMA,
-            # y0, x0, fits — per tile (shared grids) or per step
-            pltpu.SMEM((TG if shared else TG * c, 3), jnp.int32),
             # per-tile hat matrices, shared across the channel loop (v8);
             # token-sized when grids are per-channel (hats not reusable)
             pltpu.VMEM((2, TILE_P, max(hb, wb)) if shared else (2, 8, 128),
@@ -474,7 +486,7 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tex, ix, iy)
+    )(tex, ix, iy, bnd)
     out = out[:, :, :n_tiles]
     out = _patch_untile(out, ghh, gww)[:, :, :gh, :gw]
     return jnp.moveaxis(out, 1, -1).astype(in_dtype)
@@ -485,8 +497,75 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
-                bufs, sems, fb_buf, fb_sem, bounds, tiles_s,
+def _host_bounds(ix, iy, h, w, hb, wb):
+    """Per-(row, tile) bbox bounds [y0, x0, fits], computed OUTSIDE the
+    kernel (v10): XLA batches the min/max reductions over every
+    (program, channel, tile) at once, where the in-kernel phase-1 loop ran
+    them serially per step (~15-20%% of the fused kernel's time at HD).
+
+    ix, iy: (..., n_tp, ROWS, COLS) pixel-space sample coords (padded
+    layout, including -10 group-pad sentinels). Returns int32 (..., n_tp, 3)
+    plus the exact inclusive pixel footprint (r0, r1, c0, c1) for the
+    sparsity query."""
+    iy_min = iy.min(axis=(-2, -1))
+    iy_max = iy.max(axis=(-2, -1))
+    ix_min = ix.min(axis=(-2, -1))
+    ix_max = ix.max(axis=(-2, -1))
+    # inclusive source-row/col support of the bilinear hats
+    r0 = jnp.floor(iy_min).astype(jnp.int32)
+    r1 = jnp.floor(iy_max).astype(jnp.int32) + 1
+    c0 = jnp.floor(ix_min).astype(jnp.int32)
+    c1 = jnp.floor(ix_max).astype(jnp.int32) + 1
+    ylo = jnp.maximum(r0, 0)
+    yhi = jnp.minimum(r1, h - 1)
+    xlo = jnp.maximum(c0, 0)
+    xhi = jnp.minimum(c1, w - 1)
+    y0 = jnp.clip((ylo // 8) * 8, 0, h - hb)
+    x0 = jnp.clip((xlo // 128) * 128, 0, w - wb)
+    fits = ((yhi - y0 < hb) & (xhi - x0 < wb)).astype(jnp.int32)
+    return jnp.stack([y0, x0, fits], axis=-1), (r0, r1, c0, c1)
+
+
+_CY, _CX = 8, 128  # coarse nonzero-map cell (sublane x lane: free layout)
+
+
+def _skip_flags(tex, footprint, frame_of_row):
+    """Sparsity skip flags (v10): a (tile, channel) step whose source
+    footprint contains no nonzero texel samples exactly zero (bilinear with
+    zero padding), so the kernel can skip its DMA + hats + MXU dot and
+    write a zero tile. Object alpha planes are exactly zero outside each
+    object's warped TPS quad (typically >90% of an HD frame), making this
+    the dominant work filter for the alpha_ctx warp.
+
+    tex: (F, C, H, W) f32, already padded to (8, 128)-aligned dims (the
+    pad region is zero, so counts are unchanged). footprint: inclusive
+    pixel ranges (r0, r1, c0, c1), each (N, C, n_tp) int32. frame_of_row:
+    (N,) int32 mapping a program row to its unique frame. Returns skip
+    (N, C, n_tp) int32 (1 = provably all-zero output tile, incl. fully
+    out-of-range tiles and -10 group-pad sentinels)."""
+    f, c, h, w = tex.shape
+    hy, wx = h // _CY, w // _CX
+    cells = (tex != 0).reshape(f, c, hy, _CY, wx, _CX).any(axis=(3, 5))
+    # integral image: S[y, x] = #nonzero cells in [0, y) x [0, x)
+    s = jnp.cumsum(jnp.cumsum(cells.astype(jnp.int32), axis=2), axis=3)
+    s = jnp.pad(s, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    r0, r1, c0, c1 = footprint
+    cy0 = jnp.clip(jnp.maximum(r0, 0) // _CY, 0, hy)
+    cx0 = jnp.clip(jnp.maximum(c0, 0) // _CX, 0, wx)
+    cy1 = jnp.clip(jnp.minimum(r1, h - 1) // _CY + 1, 0, hy)
+    cx1 = jnp.clip(jnp.minimum(c1, w - 1) // _CX + 1, 0, wx)
+    # empty ranges (fully out-of-plane / sentinel tiles) -> zero-area rect
+    cy1 = jnp.maximum(cy1, cy0)
+    cx1 = jnp.maximum(cx1, cx0)
+    fi = frame_of_row[:, None, None]
+    ck = jnp.arange(c)[None, :, None]
+    count = (s[fi, ck, cy1, cx1] - s[fi, ck, cy0, cx1]
+             - s[fi, ck, cy1, cx0] + s[fi, ck, cy0, cx0])
+    return (count == 0).astype(jnp.int32)
+
+
+def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, bnd_ref, out_ref,
+                bufs, sems, fb_buf, fb_sem, tiles_s,
                 e_s, st_s, ih_s, iw_s, *,
                 h, w, c, hb, wb, hc, wc, gh_real, gw_real, sh_real, sw_real,
                 ntx, tp_sz, precision, has_isobj):
@@ -504,7 +583,14 @@ def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
     asserts this contract).
 
     Output channels: [0:c] occluded per-layer alphas, [c] disocc max,
-    [c+1] flow_x, [c+2] flow_y (normalized units, g_j - base_grid)."""
+    [c+1] flow_x, [c+2] flow_y (normalized units, g_j - base_grid).
+
+    v10: bounds [y0, x0, fits] arrive precomputed in SMEM (bnd_ref, see
+    _host_bounds — the serial in-kernel phase-1 loop was ~15-20% of kernel
+    time) together with a per-(tile, channel) skip flag (bnd_ref[..., 3],
+    see _skip_flags): steps whose source footprint is provably all-zero
+    write a zero tile and run NO DMA / hats / dot. Object alpha planes are
+    zero outside their warped TPS quads, so most steps skip at HD."""
     i = pl.program_id(0)
     g = pl.program_id(1)
     fi = i // tp_sz  # unique window-frame row (b*Tc + tc)
@@ -515,34 +601,15 @@ def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
         return (_col_from_tile_s(ix_ref[0, ck, t], e_s),
                 _col_from_tile_s(iy_ref[0, ck, t], e_s))
 
-    # bounds from the RAW (ROWS, COLS) coordinate tiles — reductions are
-    # order-insensitive, and the column conversion here would double the
-    # kernel's dominant per-step VPU cost (see _kernel)
-    def bounds_body(q, _):
-        t = q // c
-        ck = q % c
-        iyt = iy_ref[0, ck, t]
-        ixt = ix_ref[0, ck, t]
-        ylo = jnp.maximum(jnp.floor(jnp.min(iyt)), 0.0)
-        yhi = jnp.minimum(jnp.floor(jnp.max(iyt)) + 1.0, h - 1.0)
-        xlo = jnp.maximum(jnp.floor(jnp.min(ixt)), 0.0)
-        xhi = jnp.minimum(jnp.floor(jnp.max(ixt)) + 1.0, w - 1.0)
-        y0 = jnp.clip((ylo.astype(jnp.int32) // 8) * 8, 0, h - hb)
-        x0 = jnp.clip((xlo.astype(jnp.int32) // 128) * 128, 0, w - wb)
-        fits = ((yhi.astype(jnp.int32) - y0 < hb)
-                & (xhi.astype(jnp.int32) - x0 < wb))
-        bounds[q, 0] = y0
-        bounds[q, 1] = x0
-        bounds[q, 2] = fits.astype(jnp.int32)
-        return 0
-
-    jax.lax.fori_loop(0, TG * c, bounds_body, 0)
+    def live(s):
+        """Step s runs (not skipped). Callers clamp s < n_steps."""
+        return bnd_ref[0, s // c, s % c, 3] == 0
 
     def step_copy(s):
         t = s // c
         ck = s % c
-        y0 = pl.multiple_of(bounds[s, 0], 8)
-        x0 = pl.multiple_of(bounds[s, 1], 128)
+        y0 = pl.multiple_of(bnd_ref[0, t, ck, 0], 8)
+        x0 = pl.multiple_of(bnd_ref[0, t, ck, 1], 128)
         buf = jax.lax.rem(s, 2)
         return pltpu.make_async_copy(
             tex_hbm.at[fi, ck, pl.ds(y0, hb), pl.ds(x0, wb)],
@@ -550,66 +617,74 @@ def _war_kernel(tex_hbm, ix_ref, iy_ref, occ_ref, io_ref, out_ref,
             sems.at[buf],
         )
 
-    step_copy(0).start()
+    @pl.when(live(0))
+    def _():
+        step_copy(0).start()
 
     def step_body(s, _):
         t = s // c
         ck = s % c
 
-        @pl.when(s + 1 < n_steps)
+        @pl.when((s + 1 < n_steps) & live(jnp.minimum(s + 1, n_steps - 1)))
         def _():
             step_copy(s + 1).start()
 
-        ixc, iyc = coords(t, ck)
-        y0 = bounds[s, 0]
-        x0 = bounds[s, 1]
-        fits = bounds[s, 2] == 1
-        step_copy(s).wait()
+        y0 = bnd_ref[0, t, ck, 0]
+        x0 = bnd_ref[0, t, ck, 1]
+        fits = bnd_ref[0, t, ck, 2] == 1
 
-        def bbox(_):
-            buf = jax.lax.rem(s, 2)
-            return _block_contrib_s(bufs[buf], ixc, iyc,
-                                    x0.astype(jnp.float32),
-                                    y0.astype(jnp.float32),
-                                    ih_s, iw_s, precision)
+        def sample(_):
+            ixc, iyc = coords(t, ck)
+            step_copy(s).wait()
 
-        def full_loop(_):
-            n_y = h // hc
-            n_x = w // wc
+            def bbox(_):
+                buf = jax.lax.rem(s, 2)
+                return _block_contrib_s(bufs[buf], ixc, iyc,
+                                        x0.astype(jnp.float32),
+                                        y0.astype(jnp.float32),
+                                        ih_s, iw_s, precision)
 
-            def y_body(ky, acc):
-                cy0 = ky * hc
-                any_y = jnp.any((iyc > cy0 - 1.0) & (iyc < cy0 + hc))
+            def full_loop(_):
+                n_y = h // hc
+                n_x = w // wc
 
-                def x_body(kx, acc):
-                    cx0 = kx * wc
-                    active = any_y & jnp.any(
-                        (ixc > cx0 - 1.0) & (ixc < cx0 + wc))
+                def y_body(ky, acc):
+                    cy0 = ky * hc
+                    any_y = jnp.any((iyc > cy0 - 1.0) & (iyc < cy0 + hc))
 
-                    def do(acc):
-                        cp = pltpu.make_async_copy(
-                            tex_hbm.at[fi, ck, pl.ds(cy0, hc), pl.ds(cx0, wc)],
-                            fb_buf,
-                            fb_sem,
-                        )
-                        cp.start()
-                        cp.wait()
-                        return acc + _block_contrib(
-                            fb_buf[...], ixc, iyc, jnp.float32(0) + cx0,
-                            jnp.float32(0) + cy0, wc, hc, precision)
+                    def x_body(kx, acc):
+                        cx0 = kx * wc
+                        active = any_y & jnp.any(
+                            (ixc > cx0 - 1.0) & (ixc < cx0 + wc))
 
-                    return jax.lax.cond(active, do, lambda a: a, acc)
+                        def do(acc):
+                            cp = pltpu.make_async_copy(
+                                tex_hbm.at[fi, ck,
+                                           pl.ds(cy0, hc), pl.ds(cx0, wc)],
+                                fb_buf,
+                                fb_sem,
+                            )
+                            cp.start()
+                            cp.wait()
+                            return acc + _block_contrib(
+                                fb_buf[...], ixc, iyc, jnp.float32(0) + cx0,
+                                jnp.float32(0) + cy0, wc, hc, precision)
 
-                return jax.lax.fori_loop(0, n_x, x_body, acc)
+                        return jax.lax.cond(active, do, lambda a: a, acc)
 
-            return jax.lax.fori_loop(0, n_y, y_body,
-                                     jnp.zeros((TILE_P, 1), jnp.float32))
+                    return jax.lax.fori_loop(0, n_x, x_body, acc)
 
-        acc = jax.lax.cond(fits, bbox, full_loop, 0)
-        tile = _tile_from_col_s(acc, st_s, e_s, precision)
-        if has_isobj:
-            tile = tile * io_ref[0, ck, t].astype(jnp.float32)
-        tiles_s[ck] = tile
+                return jax.lax.fori_loop(0, n_y, y_body,
+                                         jnp.zeros((TILE_P, 1), jnp.float32))
+
+            acc = jax.lax.cond(fits, bbox, full_loop, 0)
+            tile = _tile_from_col_s(acc, st_s, e_s, precision)
+            if has_isobj:
+                tile = tile * io_ref[0, ck, t].astype(jnp.float32)
+            return tile
+
+        tiles_s[ck] = jax.lax.cond(
+            live(s), sample, lambda _: jnp.zeros((ROWS, COLS), jnp.float32), 0)
 
         # -- epilogue once the tile has all layers sampled ----------------
         @pl.when(ck == c - 1)
@@ -715,6 +790,15 @@ def warp_alpha_ctx_pallas(alpha, grid, occ, is_obj, *, tp_sz, tcp,
     n_groups = n_tp // TG
     tex = jnp.moveaxis(alpha, -1, 1)  # (F, C, H, W)
 
+    # v10: bounds + sparsity skip precomputed host-side (XLA-batched); the
+    # kernel reads them from SMEM. bnd layout (N, n_tp, C, 4): [y0, x0,
+    # fits, skip]
+    bnd3, footprint = _host_bounds(ix, iy, hh, ww, hb, wb)  # (N, C, n_tp, 3)
+    frame_of_row = jnp.arange(n, dtype=jnp.int32) // tp_sz
+    skip = _skip_flags(tex, footprint, frame_of_row)  # (N, C, n_tp)
+    bnd = jnp.concatenate([bnd3, skip[..., None]], axis=-1)
+    bnd = jnp.moveaxis(bnd, 1, 2)  # (N, n_tp, C, 4)
+
     has_isobj = is_obj is not None
     if has_isobj:
         m = is_obj.shape[0]
@@ -751,6 +835,8 @@ def warp_alpha_ctx_pallas(alpha, grid, occ, is_obj, *, tp_sz, tcp,
             pl.BlockSpec((1, 1, 1, ROWS, COLS) if not has_isobj
                          else (1, c, TG, ROWS, COLS),
                          io_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TG, c, 4), lambda i, g: (i, g, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, c + 3, TG, ROWS, COLS),
                                lambda i, g: (i, 0, g, 0, 0),
@@ -762,7 +848,6 @@ def warp_alpha_ctx_pallas(alpha, grid, occ, is_obj, *, tp_sz, tcp,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((hc, wc), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SMEM((TG * c, 3), jnp.int32),
             pltpu.VMEM((c, ROWS, COLS), jnp.float32),
             # hoisted loop-invariant constants (see _init_consts)
             pltpu.VMEM((TILE_P, COLS), jnp.float32),
@@ -780,7 +865,7 @@ def warp_alpha_ctx_pallas(alpha, grid, occ, is_obj, *, tp_sz, tcp,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tex, ix, iy, occ.astype(jnp.float32), io)
+    )(tex, ix, iy, occ.astype(jnp.float32), io, bnd)
     out = out[:, :, :n_tiles]
     out = _patch_untile(out, ghh, gww)[:, :, :gh, :gw]
     alpha_occ = jnp.moveaxis(out[:, :c], 1, -1)
