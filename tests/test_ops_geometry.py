@@ -332,6 +332,25 @@ def test_pallas_grid_sample_per_channel_grids():
     assert np.abs(np.asarray(out - ref)).max() < 1e-5
 
 
+def test_pallas_shared_grid_kc_split(monkeypatch):
+    """Shared grids with a channel-block size that does NOT divide C
+    (nblk > 1 + clamped, overlapping tail block — the c > 32 even-split
+    path): idempotent tail recompute must still match the reference."""
+    import jax.numpy as jnp
+
+    from waldo_tpu.ops.pallas.grid_sample import grid_sample_pallas
+    from waldo_tpu.ops.grid_sample import grid_sample_ref
+
+    monkeypatch.setenv("WALDO_PALLAS_KC", "2")
+    rng = np.random.RandomState(11)
+    b, h, w, c, gh, gw = 1, 64, 128, 5, 40, 66
+    img = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    grid = jnp.asarray((rng.rand(b, gh, gw, 2) * 2.4 - 1.2).astype(np.float32))
+    want = np.asarray(grid_sample_ref(img, grid))
+    got = np.asarray(grid_sample_pallas(img, grid, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_grid_sample_multigrid_fallback_matches():
     """CPU fallback of grid_sample_multigrid folds channels into batch."""
     import jax.numpy as jnp
