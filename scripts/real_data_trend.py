@@ -93,6 +93,22 @@ def common_flags(dataroot, save_path, iters, save_freq):
     ]
 
 
+def _write_evidence(root, iters, save_freq, curve):
+    """Incremental write: a trend run killed mid-eval still leaves every
+    checkpoint scored so far in the evidence JSON."""
+    out_path = os.path.join(root, "real_data_trend.json")
+    with open(out_path, "w") as f:
+        json.dump({"iters": iters, "save_freq": save_freq, "curve": curve,
+                   # numerics provenance (VERDICT r2 weak #1): without
+                   # converted LPIPS weights in this image, WIF optimizes
+                   # sharp_vid (L1) only — NOT the reference's L1+LPIPS
+                   "wif_objective": "L1-only (no LPIPS weights in this env)",
+                   "warper_fix": "alpha_to_alpha occ-product gather "
+                                 "(round-3 parity fix) active"}, f,
+                  indent=2)
+    return out_path
+
+
 def latest_tag(save_path, prefix):
     ckpts = sorted(
         d for d in os.listdir(os.path.join(save_path, "checkpoints")) if prefix in d
@@ -257,17 +273,9 @@ def main(argv=None):
             entry[folder] = res
         curve[s] = entry
         print(f"[real trend] step {s}: {json.dumps(entry)}", flush=True)
+        _write_evidence(args.root, iters, save_freq, curve)
 
-    out_path = os.path.join(args.root, "real_data_trend.json")
-    with open(out_path, "w") as f:
-        json.dump({"iters": iters, "save_freq": save_freq, "curve": curve,
-                   # numerics provenance (VERDICT r2 weak #1): without
-                   # converted LPIPS weights in this image, WIF optimizes
-                   # sharp_vid (L1) only — NOT the reference's L1+LPIPS
-                   "wif_objective": "L1-only (no LPIPS weights in this env)",
-                   "warper_fix": "alpha_to_alpha occ-product gather "
-                                 "(round-3 parity fix) active"}, f,
-                  indent=2)
+    out_path = _write_evidence(args.root, iters, save_freq, curve)
     print("\n=== real-data trend (cum past ctx, predicted frames only) ===")
     print(f"{'step':>8} | {'ssim':>7} {'psnr':>7} {'msssim':>7} (inp_pred_vid)")
     for s in steps:
