@@ -102,6 +102,7 @@ def main():
         "vs_baseline": round(vs, 3),
         # numerics provenance (ADVICE r2): which approximations produced this
         # number — iterative vs scatter inversion, and the compute dtype
+        "batch": batch,
         "fast_inverse": cfg.model.fast_inverse_warp,
         "compute_dtype": cfg.compute_dtype,
         "sample_precision": cfg.model.sample_precision,

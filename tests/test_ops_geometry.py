@@ -138,6 +138,25 @@ def test_inverse_warp_roundtrip_translation():
     assert np.allclose(interior - ident[12:20, 12:20], [-shift, 0], atol=1e-3)
 
 
+def test_inverse_warp_iterative_roundtrip_and_unmapped():
+    """Fixed-point (fast) inversion: constant translation inverts to its
+    negation in the interior, and an all-off-grid warp marks every pixel
+    far out of bounds via the last-step convergence mask (no separate
+    residual sample)."""
+    h, w = 32, 32
+    iw = InverseWarp(h, w, h, w)
+    shift = 4 / (w / 2)
+    src = np.asarray(get_grid(h, w))[None] + np.array([shift, 0], np.float32)
+    inv = np.asarray(iw.iterative(jnp.asarray(src)))
+    ident = np.asarray(get_grid(h, w))
+    interior = inv[0, 12:20, 12:20]
+    assert np.allclose(interior - ident[12:20, 12:20], [-shift, 0], atol=1e-3)
+
+    src = np.asarray(get_grid(h, w))[None] + 3.0
+    inv = np.asarray(iw.iterative(jnp.asarray(src)))
+    assert (np.abs(inv) > 1.5).all() and np.isfinite(inv).all()
+
+
 def test_inverse_warp_unmapped_is_out_of_bounds():
     h, w = 16, 16
     iw = InverseWarp(h, w, h, w)
@@ -162,6 +181,21 @@ def test_resize_matches_torch_bilinear():
         torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2, mode="bilinear"
     ).permute(0, 2, 3, 1).numpy()
     assert np.allclose(ours2, theirs2, atol=1e-5)
+    # integer-factor fast path (phase decomposition, no gathers): even and
+    # odd factors, incl. the HD predict geometry's x4
+    for f in (3, 4):
+        ours_f = np.asarray(resize(jnp.asarray(x), scale_factor=f))
+        theirs_f = F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=f, mode="bilinear"
+        ).permute(0, 2, 3, 1).numpy()
+        assert np.allclose(ours_f, theirs_f, atol=1e-5), (
+            f, np.abs(ours_f - theirs_f).max())
+    # mixed: integer up on H, non-integer on W takes the generic path
+    ours_m = np.asarray(resize(jnp.asarray(x), shape=(16, 18)))
+    theirs_m = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(16, 18), mode="bilinear"
+    ).permute(0, 2, 3, 1).numpy()
+    assert np.allclose(ours_m, theirs_m, atol=1e-5)
 
 
 def test_gaussian_blur_matches_torchvision_formula():

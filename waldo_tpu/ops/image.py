@@ -28,6 +28,37 @@ def _bilinear_sample_axis(x, axis, out_size):
     return xl * (1 - t) + xh * t
 
 
+def _upsample_axis_int(x, axis, factor):
+    """Integer-factor bilinear upsample along one axis without gathers.
+
+    Phase decomposition: output index j = f*i + p samples at fractional
+    offset d_p = (p+0.5)/f - 0.5 from input index i, so each phase is a
+    fixed 2-tap blend of x and its one-pixel edge-replicated shift —
+    slices + elementwise, which XLA fuses, instead of the `jnp.take`
+    gathers of the generic path (TPU gathers run far below DMA efficiency;
+    the HD predict trace spent 63 ms/step in flow_upsample on them).
+    Tap positions/weights match `_bilinear_sample_axis` exactly (incl. the
+    clamped-t edge behavior, which edge replication reproduces)."""
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    sl = lambda a, b: tuple(
+        slice(None) if k != axis else slice(a, b) for k in range(x.ndim)
+    )
+    xm1 = jnp.concatenate([x[sl(0, 1)], x[sl(0, n - 1)]], axis=axis)
+    xp1 = jnp.concatenate([x[sl(1, n)], x[sl(n - 1, n)]], axis=axis)
+    phases = []
+    for p in range(factor):
+        d = (p + 0.5) / factor - 0.5
+        if d < 0:
+            t = jnp.asarray(d + 1.0, x.dtype)
+            phases.append(xm1 * (1 - t) + x * t)
+        else:
+            t = jnp.asarray(d, x.dtype)
+            phases.append(x * (1 - t) + xp1 * t)
+    y = jnp.stack(phases, axis=axis + 1)
+    return y.reshape(x.shape[: axis] + (n * factor,) + x.shape[axis + 1 :])
+
+
 def resize(x: jnp.ndarray, scale_factor: float = None, shape=None, method="bilinear"):
     """Bilinear resize of (..., H, W, C); half-pixel centers, no antialiasing
     — matches torch `F.interpolate(..., mode='bilinear')` for both up and
@@ -39,8 +70,11 @@ def resize(x: jnp.ndarray, scale_factor: float = None, shape=None, method="bilin
         shape = (int(h * scale_factor), int(w * scale_factor))
     if shape == (h, w):
         return x
-    x = _bilinear_sample_axis(x, x.ndim - 3, shape[0])
-    x = _bilinear_sample_axis(x, x.ndim - 2, shape[1])
+    for axis, (n, m) in zip((x.ndim - 3, x.ndim - 2), zip((h, w), shape)):
+        if m > n and m % n == 0:
+            x = _upsample_axis_int(x, axis, m // n)
+        else:
+            x = _bilinear_sample_axis(x, axis, m)
     return x
 
 

@@ -161,11 +161,16 @@ class InverseWarp:
         Solves G(q) = q - u(G(q)) where u is the forward displacement field,
         by iterating v <- -u(q + v); all evaluations are grid_samples, so the
         whole inversion runs on the MXU sampler instead of scatters. Pixels
-        whose residual |F(G(q)) - q| stays above `tol` (fold-overs /
-        disocclusions) are pushed far out of bounds like the reference's
-        unfilled pixels. Deviation from the scatter path: no 5-step
-        dilate-average hole filling — near-hole pixels extrapolate through
-        the smooth fixed point instead.
+        that have not converged (fold-overs / disocclusions) are pushed far
+        out of bounds like the reference's unfilled pixels. Deviation from
+        the scatter path: no 5-step dilate-average hole filling — near-hole
+        pixels extrapolate through the smooth fixed point instead.
+
+        `niter` counts grid_sample evaluations. The convergence mask is the
+        LAST iteration's step |v_k - v_{k-1}|, which for the pre-update
+        iterate equals the fixed-point residual |F(q+v_{k-1}) - q| the old
+        code measured with a separate 4th sampler call (invert_obj was the
+        #2 stage of the HD predict trace, so that call was 25% of it).
         """
         from .grid_sample import grid_sample
 
@@ -174,11 +179,12 @@ class InverseWarp:
         u = src_grid - self.src_grid[None]  # displacement on the source lattice
         q = jnp.broadcast_to(self.tgt_grid[None], (b, h, w, 2))
         v = jnp.zeros_like(q)
+        delta = q  # overwritten on the first iteration (niter >= 1)
         for _ in range(niter):
-            v = -grid_sample(u, q + v)
-        # residual check: F(q+v) should equal q
-        f_at = grid_sample(u, q + v) + (q + v)
-        bad = (jnp.abs(f_at - q).max(axis=-1, keepdims=True) > tol) | (
+            v_new = -grid_sample(u, q + v)
+            delta = v_new - v
+            v = v_new
+        bad = (jnp.abs(delta).max(axis=-1, keepdims=True) > tol) | (
             jnp.abs(q + v).max(axis=-1, keepdims=True) > 1.0
         )
         far = jnp.stack(
