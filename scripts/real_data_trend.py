@@ -97,7 +97,10 @@ def _write_evidence(root, iters, save_freq, curve):
     """Incremental write: a trend run killed mid-eval still leaves every
     checkpoint scored so far in the evidence JSON."""
     out_path = os.path.join(root, "real_data_trend.json")
-    with open(out_path, "w") as f:
+    # atomic: write a temp file then os.replace, so a kill landing mid-dump
+    # never truncates evidence already on disk (ADVICE r3)
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump({"iters": iters, "save_freq": save_freq, "curve": curve,
                    # numerics provenance (VERDICT r2 weak #1): without
                    # converted LPIPS weights in this image, WIF optimizes
@@ -106,6 +109,7 @@ def _write_evidence(root, iters, save_freq, curve):
                    "warper_fix": "alpha_to_alpha occ-product gather "
                                  "(round-3 parity fix) active"}, f,
                   indent=2)
+    os.replace(tmp_path, out_path)
     return out_path
 
 

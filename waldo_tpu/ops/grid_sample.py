@@ -301,7 +301,7 @@ def _warp_alpha_ctx_ref(alpha_u, grids, occ, is_obj, *, tp_sz, tcp,
     o = occ[:, None, None].astype(sam.dtype)  # N 1 1 I J
     occp = jnp.prod(1.0 - sam[..., None] * o, axis=-2)  # N gh gw J
     a_occ = occp * sam
-    base = jnp.asarray(get_grid(gh, gw))
+    base = get_grid(gh, gw)  # host numpy constant; see ops/tps.py lowering note
     flow_per = jnp.moveaxis(grids, 1, -2) - base[None, :, :, None]  # N gh gw C 2
     fl = (a_occ[..., None].astype(jnp.float32) * flow_per).sum(-2)
     return a_occ, dis, fl

@@ -119,7 +119,9 @@ class EdgeExtractor:
         k = kernel_size
         self.k = k
         self.max_edge = math.sqrt(32.0)
-        self.mean_kernel = jnp.ones((k, k, 1, 1), jnp.float32) / (k * k)
+        # host numpy, not device arrays: device constants captured by jitted
+        # closures are fetched back through the axon tunnel at lowering time
+        self.mean_kernel = np.ones((k, k, 1, 1), np.float32) / (k * k)
         s = np.arange(k, dtype=np.float64) - k // 2
         sx, sy = s.reshape(-1, 1), s.reshape(1, -1)
         sum_xy = sx ** 2 + sy ** 2
@@ -127,9 +129,7 @@ class EdgeExtractor:
         sobel_x = (sx / sum_xy).astype(np.float32)
         sobel_y = (sy / sum_xy).astype(np.float32)
         # (k, k, 1, 2): two output channels (x-deriv, y-deriv) on one input ch
-        self.sobel_kernel = jnp.asarray(
-            np.stack([sobel_x, sobel_y], axis=-1)[..., None, :]
-        )
+        self.sobel_kernel = np.stack([sobel_x, sobel_y], axis=-1)[..., None, :]
 
     def __call__(self, flow: jnp.ndarray, eps: float = 1e-6):
         lead = flow.shape[:-3]

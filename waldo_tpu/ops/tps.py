@@ -58,7 +58,14 @@ class TPSWarp:
         # Fold the constant inverse kernel into the grid representation:
         # grid = repr @ (inv @ pad(src)) == (repr @ inv) @ pad(src). One matmul
         # per call instead of two, with the (HW, N+3) operand precomputed.
-        self.proj = jnp.asarray(tgt_grid_repr @ inverse_kernel, dtype=jnp.float32)
+        # Kept as HOST numpy: a device-resident constant captured by a jitted
+        # closure is fetched back through the axon tunnel at lowering time to
+        # be inlined into the MLIR module (~88 s for the 17 MB bg proj — this
+        # single line was most of bench.py's cold-start, r4 profile). An
+        # in-graph iota rebuild of the repr was tried and rejected: it cut
+        # the executable 84->22 MB but tripled effective compile time (the
+        # tail landing lazily at first execution, +2-6 min).
+        self.proj = np.asarray(tgt_grid_repr @ inverse_kernel, dtype=np.float32)
 
     def __call__(self, src_pts: jnp.ndarray) -> jnp.ndarray:
         """src_pts (B, N, 2) -> dense grid (B, H, W, 2)."""

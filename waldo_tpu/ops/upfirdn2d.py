@@ -34,7 +34,9 @@ def setup_filter(f, normalize=True, flip_filter=False, gain=1):
     if flip_filter:
         f = f[::-1, ::-1]
     f = f * (gain ** (f.ndim / 2))
-    return jnp.asarray(f.copy(), dtype=jnp.float32)
+    # host numpy: setup-time constants stay off-device so jit lowering never
+    # fetches them back through the axon tunnel (see ops/tps.py note)
+    return np.asarray(f.copy(), dtype=np.float32)
 
 
 def _parse2(v):
