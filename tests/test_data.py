@@ -53,6 +53,36 @@ def test_loader_sharding_and_batching():
     assert len(loaders[0]) == 8  # 64/2 hosts/4 per host
 
 
+def test_loader_propagates_worker_failure():
+    """A dataset error must surface in the consumer, not leave it blocked
+    forever on an empty queue (the round-3 5.5h iteration-0 hang)."""
+    cfg = small_cfg()
+
+    class Exploding(SyntheticDataset):
+        def __getitem__(self, idx):
+            raise OSError("truncated native lib")
+
+    ds = Exploding(cfg, phase="valid")
+    loader = DataLoader(ds, global_batch_size=4, num_hosts=1, host_id=0,
+                        num_workers=2)
+    with _pytest.raises(RuntimeError, match="worker failed"):
+        next(iter(loader))
+
+
+def test_native_load_failure_degrades_to_numpy(tmp_path, monkeypatch):
+    """A corrupt .so must fall back to the numpy path, not crash workers."""
+    from waldo_tpu.data import native
+
+    bad = tmp_path / "libwaldo_native.so"
+    bad.write_bytes(b"not an elf file")
+    monkeypatch.setenv("WALDO_NATIVE_LIB", str(bad))
+    monkeypatch.setattr(native, "_LIB", None)
+    with _pytest.warns(UserWarning, match="numpy data path"):
+        assert native.available() is False
+    assert native.available() is False  # cached negative, no re-warn needed
+    monkeypatch.setattr(native, "_LIB", None)
+
+
 def test_infinite_loader_cycles():
     cfg = small_cfg()
     ds = SyntheticDataset(cfg, phase="valid")  # 8 clips

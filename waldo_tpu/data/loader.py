@@ -90,12 +90,20 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for bidx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, bidx))
-                    q.put(collate(samples))
+            # any dataset error must reach the consumer: a producer dying
+            # silently leaves q.get() blocked forever (the round-3 "stalled
+            # at iteration 0 for 5.5h" hang — a truncated native .so raised
+            # OSError inside __getitem__ and the trainer never noticed)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for bidx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, bidx))
+                        q.put(collate(samples))
+            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+                q.put(e)
+                return
             q.put(None)
 
         th = threading.Thread(target=produce, daemon=True)
@@ -105,6 +113,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise RuntimeError("data loader worker failed") from batch
                 yield batch
         finally:
             stop.set()

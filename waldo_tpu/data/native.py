@@ -29,11 +29,21 @@ def _find_lib() -> Optional[str]:
 def _load():
     global _LIB
     if _LIB is not None:
-        return _LIB
+        return _LIB if _LIB is not False else None
     path = _find_lib()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as e:
+        # a corrupt/truncated .so (e.g. interrupted build) must degrade to
+        # the numpy fallback, not crash the loader's worker threads — this
+        # hung a 5.5h round-3 training run at iteration 0
+        import warnings
+
+        warnings.warn(f"failed to load {path} ({e}); using numpy data path")
+        _LIB = False
+        return None
     i32 = ctypes.c_int32
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

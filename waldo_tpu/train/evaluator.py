@@ -79,8 +79,11 @@ class Evaluator:
         loader = DataLoader(ds, cfg.batch_size_vid, shuffle=False,
                             num_workers=cfg.data.num_workers)
         os.makedirs(cfg.result_path, exist_ok=True)
+        from ..utils.heartbeat import beat
+
         metrics = {}
         for i, batch in enumerate(loader):
+            beat(i)  # liveness signal for the supervisor's stall watchdog
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
             arrays = shard_batch(arrays, self.mesh)
             out_dev = dict(self._predict(self.params, arrays))

@@ -185,9 +185,12 @@ class Trainer:
             it = self.ckpt.latest_iter(nets[0] if nets else "pe")
             start_iter = (it + 1) if it is not None else 0
 
+        from ..utils.heartbeat import beat
+
         rng = jax.random.PRNGKey(cfg.seed + 1)
         t_start = time.time()
         for it in range(start_iter, num_iter):
+            beat(it)  # liveness signal for the supervisor's stall watchdog
             log = (cfg.log_freq and it % cfg.log_freq == 0) or it < 10 or (
                 it < 1000 and it % 100 == 0
             )
