@@ -101,8 +101,13 @@ def main(argv=None):
     outs = {k: run_variant(v, batch_np, k) for k, v in variants.items()}
 
     ctx = cfg.model.ctx_len
+    from waldo_tpu.utils.profiling import provenance
+
     report = {"geometry": f"{args.load_dim}x{int(args.load_dim * cfg.aspect_ratio)}",
-              "vid_len": args.vid_len, "vs_golden": {}}
+              "vid_len": args.vid_len,
+              "provenance": provenance(
+                  chip_shared=os.environ.get("WALDO_CHIP_SHARED", "unknown")),
+              "vs_golden": {}}
     for k in ("bench_bf16_fast", "bench_bf16_fast_fiw"):
         entry = {}
         for field in ("pred_vid", "inp_pred_vid"):

@@ -108,9 +108,13 @@ def main(argv=None):
         print(f"[trend] step {s}: {json.dumps(entry)}", flush=True)
 
     out_path = os.path.join(root, "quality_trend.json")
+    from waldo_tpu.utils.profiling import provenance
+
     with open(out_path, "w") as f:
-        json.dump({"iters": iters, "save_freq": save_freq, "curve": curve}, f,
-                  indent=2)
+        json.dump({"iters": iters, "save_freq": save_freq, "curve": curve,
+                   "provenance": provenance(
+                       wif_objective="L1-only (no LPIPS weights in this env)")},
+                  f, indent=2)
     print(f"\n=== quality trend (cum past ctx, predicted frames only) ===")
     hdr = f"{'step':>8} | {'ssim':>7} {'psnr':>7} {'msssim':>7} (inp_pred_vid)"
     print(hdr)

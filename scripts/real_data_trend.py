@@ -94,32 +94,19 @@ def common_flags(dataroot, save_path, iters, save_freq):
 
 
 def provenance() -> dict:
-    """Self-describing evidence stamp (VERDICT r3 weak #6): code revision,
-    objective deviation, numerics, and wall-clock context travel WITH the
-    numbers instead of living in prose."""
-    import subprocess
-    import time
+    """Self-describing evidence stamp (VERDICT r3 weak #6); shared helper in
+    utils/profiling.py, specialized with this harness's objective deviation."""
+    from waldo_tpu.utils.profiling import provenance as _prov
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    try:
-        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                             cwd=repo, capture_output=True, text=True,
-                             timeout=10).stdout.strip()
-        dirty = bool(subprocess.run(["git", "status", "--porcelain"],
-                                    cwd=repo, capture_output=True, text=True,
-                                    timeout=10).stdout.strip())
-    except Exception:
-        rev, dirty = "unknown", None
-    return {
-        "git_rev": rev + ("-dirty" if dirty else ""),
-        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    return _prov(
         # without converted LPIPS weights in this image, WIF optimizes
         # sharp_vid (L1) only — NOT the reference's L1+LPIPS objective
-        "wif_objective": "L1-only (no LPIPS weights in this env)",
-        "compute_dtype": "bfloat16 matmul passes (f32 pinned in geometry)",
-        "fast_inverse_warp": True,
-        "chip_shared": "exclusive (no concurrent jobs launched by harness)",
-    }
+        wif_objective="L1-only (no LPIPS weights in this env)",
+        compute_dtype="bfloat16 matmul passes (f32 pinned in geometry)",
+        fast_inverse_warp=True,
+        chip_shared=os.environ.get("WALDO_CHIP_SHARED",
+                                   "exclusive (no concurrent jobs launched)"),
+    )
 
 
 def _write_evidence(root, iters, save_freq, curve):

@@ -102,6 +102,12 @@ def main(argv=None):
     report = summarize_trace(args.trace_dir)
     report["geometry"] = f"{args.load_dim}x{args.load_dim * 2}"
     report["steps_traced"] = 3
+    from waldo_tpu.utils.profiling import provenance
+
+    report["provenance"] = provenance(
+        compute_dtype="bfloat16", fast_inverse_warp=True,
+        sample_precision=str(cfg.model.sample_precision),
+        chip_shared=os.environ.get("WALDO_CHIP_SHARED", "unknown"))
     print(json.dumps(report, indent=2))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
