@@ -142,6 +142,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--root", type=str, default="/tmp/waldo_real_trend")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--concurrent", action="store_true",
+                    help="train FLP and WIF concurrently (both depend only "
+                         "on the frozen LVD)")
     ap.add_argument("--stages", type=str, default="lvd,flp,wif",
                     help="comma list of train stages to (re)run")
     args = ap.parse_args(argv)
@@ -182,12 +185,12 @@ def main(argv=None):
         import glob as _glob
         import time as _time
 
-        hb_file = os.path.join(args.root, "heartbeat")
+        name = argv[argv.index("--name") + 1]
+        hb_file = os.path.join(args.root, f"heartbeat_{name}")
 
         for attempt in range(retries + 1):
             extra = []
             if attempt and module.endswith(".train"):
-                name = argv[argv.index("--name") + 1]
                 if _glob.glob(f"{save_path}/checkpoints/*-{name}"):
                     extra = ["--cont_train"]
             if pre is not None:
@@ -247,10 +250,10 @@ def main(argv=None):
                         "--s_use_dominant_flow_other", "true",
                         "--s_include_self", "true", "--s_reg_bg_mul", "0.25",
                         "--batch_size_vid", str(args.batch)])
+    flp_argv = wif_argv = None
     if not args.skip_train and "flp" in stages:
         lvd = latest_tag(save_path, "real_lvd")
-        print(f"=== stage 2: FLP (frozen {lvd}) ===", flush=True)
-        train_cli.main(["--name", "real_flp", *common,
+        flp_argv = (["--name", "real_flp", *common,
                         "--vid_modes", "vid_pose_generator",
                         "--s_use_pg", "true",
                         "--s_vid_pose_generator_losses",
@@ -266,15 +269,34 @@ def main(argv=None):
                         "--batch_size_vid", str(args.batch)])
     if not args.skip_train and "wif" in stages:
         lvd = latest_tag(save_path, "real_lvd")
-        print("=== stage 3: WIF ===", flush=True)
-        train_cli.main(["--name", "real_wif", *common,
-                        "--vid_modes", "vid_inpainting",
-                        "--s_use_ii", "true", "--s_ii_depth", "6",
-                        "--s_ii_score", "true", "--s_ii_ab", "true",
-                        "--s_vid_inpainting_losses", "sharp_vid",
-                        "--s_which_iter", "latest",
-                        "--s_load_path", f"{save_path}/checkpoints/{lvd}",
-                        "--batch_size_vid", str(args.batch)])
+        wif_argv = (["--name", "real_wif", *common,
+                     "--vid_modes", "vid_inpainting",
+                     "--s_use_ii", "true", "--s_ii_depth", "6",
+                     "--s_ii_score", "true", "--s_ii_ab", "true",
+                     "--s_vid_inpainting_losses", "sharp_vid",
+                     "--s_which_iter", "latest",
+                     "--s_load_path", f"{save_path}/checkpoints/{lvd}",
+                     "--batch_size_vid", str(args.batch)])
+    if flp_argv and wif_argv and args.concurrent:
+        # FLP and WIF both train against the SAME frozen LVD and are
+        # independent of each other; running both on the chip at once
+        # overlaps their dispatch/host gaps (distinct names -> distinct
+        # checkpoint slots and heartbeat files)
+        from concurrent.futures import ThreadPoolExecutor
+
+        print("=== stages 2+3: FLP || WIF (concurrent) ===", flush=True)
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(train_cli.main, flp_argv),
+                    ex.submit(train_cli.main, wif_argv)]
+            for f in futs:
+                f.result()
+    else:
+        if flp_argv:
+            print("=== stage 2: FLP ===", flush=True)
+            train_cli.main(flp_argv)
+        if wif_argv:
+            print("=== stage 3: WIF ===", flush=True)
+            train_cli.main(wif_argv)
     lvd = latest_tag(save_path, "real_lvd")
     flp = latest_tag(save_path, "real_flp")
     wif = latest_tag(save_path, "real_wif")
@@ -316,7 +338,11 @@ def main(argv=None):
                        "--s_ii_load_path", f"{save_path}/checkpoints/{wif}",
                        "--s_ii_iter", s])
         entry = {}
-        for folder in ("pred_vid", "inp_pred_vid"):
+        # rec_vid (reconstruction with TRUE poses) separates the failure
+        # modes VERDICT r3 #3 asks about: rec improving while pred stalls
+        # means FLP pose prediction / eval ctx handling is the bottleneck;
+        # rec stalling too means the LVD decomposition itself is weak
+        for folder in ("pred_vid", "inp_pred_vid", "rec_vid"):
             res = metrics_cli.main([name, "14", "4",
                                     "--results_root", f"{save_path}/results",
                                     "--metrics", "ssim", "psnr", "msssim",
