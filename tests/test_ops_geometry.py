@@ -385,6 +385,43 @@ def test_pallas_shared_grid_kc_split(monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_pallas_shared_texture_tp_mapping():
+    """tp_sz texture-row mapping (context fusion): grid row i sampling
+    texture row i // tp_sz must equal the materialized-duplication path
+    (interpret mode: runs on CPU). Covers kc>1 channel blocks and the
+    sparsity skip (one texture is all-zero)."""
+    import jax.numpy as jnp
+
+    from waldo_tpu.ops.pallas.grid_sample import grid_sample_pallas
+    from waldo_tpu.ops.grid_sample import grid_sample_ref
+
+    rng = np.random.RandomState(7)
+    f, tp, h, w, c, gh, gw = 2, 3, 64, 128, 5, 40, 66
+    img = rng.rand(f, h, w, c).astype(np.float32)
+    img[1] = 0.0  # exercises the all-zero-texture skip flags
+    img = jnp.asarray(img)
+    grid = jnp.asarray((rng.rand(f * tp, gh, gw, 2) * 2.4 - 1.2).astype(np.float32))
+    got = np.asarray(grid_sample_pallas(img, grid, interpret=True, tp_sz=tp))
+    want = np.asarray(grid_sample_ref(jnp.repeat(img, tp, axis=0), grid))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_grid_sample_ctx_fallback_matches():
+    """grid_sample_ctx off-TPU falls back to repeat + plain sampling and
+    must equal per-row reference sampling of the mapped texture."""
+    import jax.numpy as jnp
+
+    from waldo_tpu.ops.grid_sample import grid_sample_ctx, grid_sample_ref
+
+    rng = np.random.RandomState(8)
+    f, tp, h, w, c, gh, gw = 2, 4, 32, 48, 3, 20, 26
+    img = jnp.asarray(rng.rand(f, h, w, c).astype(np.float32))
+    grid = jnp.asarray(rng.rand(f * tp, gh, gw, 2).astype(np.float32) * 2 - 1)
+    out = np.asarray(grid_sample_ctx(img, grid, tp_sz=tp))
+    want = np.asarray(grid_sample_ref(jnp.repeat(img, tp, axis=0), grid))
+    np.testing.assert_allclose(out, want, atol=1e-5, rtol=1e-4)
+
+
 def test_grid_sample_multigrid_fallback_matches():
     """CPU fallback of grid_sample_multigrid folds channels into batch."""
     import jax.numpy as jnp

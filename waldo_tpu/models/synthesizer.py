@@ -228,7 +228,8 @@ class Synthesizer:
                 ctx_uniform=ctx_uniform,
             )
         with annotate("warper/input_to_output"):
-            output, raw_output = self.warper.input_to_output(real_input, alpha_ctx, flow, ctx_ts)
+            output, raw_output = self.warper.input_to_output(
+                real_input, alpha_ctx, flow, ctx_ts, ctx_uniform=ctx_uniform)
         raw_alpha = output[..., -1:]
         if m.use_disocc:
             if m.include_self:

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import TPSWarp, InverseWarp, get_grid, grid_sample, resize
-from ..ops.grid_sample import grid_sample_multigrid, warp_alpha_ctx
+from ..ops.grid_sample import grid_sample_multigrid, grid_sample_ctx, warp_alpha_ctx
 from ..utils import gather_time
 from ..utils.profiling import annotate
 
@@ -417,21 +417,37 @@ class Warper:
 
     # ---- warp context frames & fuse (reference lvd.py:830-853) ----
 
-    def input_to_output(self, x, alpha, flow, ctx_ts, eps=1e-6):
+    def input_to_output(self, x, alpha, flow, ctx_ts, eps=1e-6,
+                        ctx_uniform=False):
         """x (B,T,Hd,Wd,C); alpha (B,Tc,Tp,Hd,Wd,No+1) in [-1,1];
         flow (B,Tc,Tp,Hd,Wd,2); returns (output (B,Tp,Hd,Wd,C+1), raw (B,Tc',Tp,Hd,Wd,C+No+1))."""
         b, tc, tp = flow.shape[:3]
         hd, wd = self.src_shape_hd
         c = x.shape[-1]
-        ctx = gather_time(x, ctx_ts)  # B Tc Tp Hd Wd C
         # pixel/layout values tolerate bf16 sampling error (~4e-3); this is
         # the most expensive sample of the pipeline (C=3+Nl at load res)
-        with annotate("warper/context_fusion_sample"):
-            out = grid_sample(
-                ctx.reshape(-1, hd, wd, c),
-                (self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)),
-                precision=self.sample_precision,
-            )
+        if ctx_uniform:
+            # predict path: ctx_ts is constant along pred, so gather only the
+            # UNIQUE ctx frames and let the sampler's tp_sz row mapping fan
+            # each one out to the tp grids — the (B,Tc,Tp,Hd,Wd,C) HBM stack
+            # never materializes (it was the #1 HD stage cost, r3 trace)
+            idx = ctx_ts[:, :, 0][:, :, None, None, None]
+            ctx_u = jnp.take_along_axis(x, idx, axis=1)  # B Tc Hd Wd C
+            with annotate("warper/context_fusion_sample"):
+                out = grid_sample_ctx(
+                    ctx_u.reshape(-1, hd, wd, c),
+                    (self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)),
+                    tp_sz=tp,
+                    precision=self.sample_precision,
+                )
+        else:
+            ctx = gather_time(x, ctx_ts)  # B Tc Tp Hd Wd C
+            with annotate("warper/context_fusion_sample"):
+                out = grid_sample(
+                    ctx.reshape(-1, hd, wd, c),
+                    (self.src_grid_hd[None] + flow.reshape(-1, hd, wd, 2)),
+                    precision=self.sample_precision,
+                )
         out = out.reshape(b, tc, tp, hd, wd, c)
         if self.sample_precision == "fast":
             # bf16 storage of the warped-context stack (B,Tc,Tp,Hd,Wd,C):

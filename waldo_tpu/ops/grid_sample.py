@@ -233,6 +233,44 @@ def _pallas_mg_bwd(precision, res, g):
 _pallas_mg_with_mxu_grad.defvjp(_pallas_mg_fwd, _pallas_mg_bwd)
 
 
+def grid_sample_ctx(img: jnp.ndarray, grid: jnp.ndarray, *, tp_sz: int,
+                    precision: str = "float32") -> jnp.ndarray:
+    """Shared-texture context-fusion sampling: grid row i samples img row
+    i // tp_sz. img (F,H,W,C), grid (F*tp_sz,Ho,Wo,2) -> (F*tp_sz,Ho,Wo,C).
+
+    The predict path warps each unique ctx frame to tp_sz prediction
+    frames; with the row mapping the texture ships to the kernel ONCE
+    instead of as tp_sz materialized HBM copies (the r3 HD trace's #1
+    stage, warper/context_fusion_sample, paid gather_time + f32 duplication
+    of the full (B,Tc,Tp,Hd,Wd,C) stack before every sample). Inference
+    only — no VJP (the training path keeps the dense gather)."""
+    import os
+
+    f, h, w, c = img.shape
+    n = grid.shape[0]
+    assert n == f * tp_sz, (img.shape, grid.shape, tp_sz)
+    src = h * w
+    out_px = grid.shape[-3] * grid.shape[-2]
+    if (
+        tp_sz > 1
+        # default-off until the HD shape is verified on-chip (the axon
+        # tunnel's Mosaic build rejects shapes interpret mode accepts);
+        # bench.py / verified callers opt in with WALDO_CTX_TPSZ=1
+        and os.environ.get("WALDO_CTX_TPSZ", "0") == "1"
+        and _IMPL in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and src * c >= (1 << 19)
+        and src <= (1 << 22)
+        and out_px >= (1 << 15)
+        and n <= 256
+    ):
+        from .pallas.grid_sample import grid_sample_pallas
+
+        return grid_sample_pallas(img, grid, precision=precision, tp_sz=tp_sz)
+    rep = img if tp_sz == 1 else jnp.repeat(img, tp_sz, axis=0)
+    return grid_sample(rep, grid, precision=precision)
+
+
 def warp_alpha_ctx(alpha_u, grids, occ, is_obj, *, tp_sz, tcp,
                    precision: str = "float32"):
     """Fused predict-path alpha_ctx warp (sample + ghost mask + disocc max +

@@ -168,7 +168,7 @@ def _block_contrib_s(tex_b, ix, iy, x0, y0, ih_s, iw_s, precision):
 
 def _kernel(tex_hbm, ix_ref, iy_ref, bnd_ref, out_ref, bufs, sems, fb_buf,
             fb_sem, hats_s, *, h, w, c, hb, wb, hc, wc, precision, shared,
-            kc=1):
+            kc=1, tp=1):
     """shared=True: one grid per image, all channels sample along it (ctx
     fusion). shared=False: per-channel grids (the alpha_ctx warp: each
     layer-alpha plane rides its own flow) — bounds are then per step.
@@ -194,6 +194,8 @@ def _kernel(tex_hbm, ix_ref, iy_ref, bnd_ref, out_ref, bufs, sems, fb_buf,
     planes of the training-path multigrid warp) write zero tiles with no
     DMA / hats / dot."""
     i = pl.program_id(0)
+    # texture-row mapping (tp_sz): tp grid rows share one texture row
+    ti = i if tp == 1 else i // tp
     nblk = -(-c // kc) if shared else c
     n_steps = TG * nblk
 
@@ -224,7 +226,7 @@ def _kernel(tex_hbm, ix_ref, iy_ref, bnd_ref, out_ref, bufs, sems, fb_buf,
         x0 = pl.multiple_of(bnd(s, 1), 128)
         buf = jax.lax.rem(s, 2)
         return pltpu.make_async_copy(
-            tex_hbm.at[i, pl.ds(cs, kc), pl.ds(y0, hb), pl.ds(x0, wb)],
+            tex_hbm.at[ti, pl.ds(cs, kc), pl.ds(y0, hb), pl.ds(x0, wb)],
             bufs.at[buf],
             sems.at[buf],
         )
@@ -298,7 +300,7 @@ def _kernel(tex_hbm, ix_ref, iy_ref, bnd_ref, out_ref, bufs, sems, fb_buf,
 
                         def do(acc):
                             cp = pltpu.make_async_copy(
-                                tex_hbm.at[i, pl.ds(cs, kc),
+                                tex_hbm.at[ti, pl.ds(cs, kc),
                                            pl.ds(cy0, hc), pl.ds(cx0, wc)],
                                 fb_buf,
                                 fb_sem,
@@ -353,17 +355,23 @@ def _patch_untile(a, gh, gw):
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "interpret",
-                                             "block_hb"))
+                                             "block_hb", "tp_sz"))
 def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
                        precision: str = "float32", interpret: bool = False,
-                       block_hb: int | None = None):
+                       block_hb: int | None = None, tp_sz: int = 1):
     """img (B,H,W,C), grid (B,Ho,Wo,2) or per-channel (B,C,Ho,Wo,2)
     -> (B,Ho,Wo,C); torch zero-pad semantics (align_corners=False).
 
     The per-channel form samples img[..., k] along grid[:, k] — the
     alpha_ctx warp's shape (layers = channels, each with its own flow),
-    amortizing program launches C-fold vs C separate single-channel calls."""
-    b, h, w, c = img.shape
+    amortizing program launches C-fold vs C separate single-channel calls.
+
+    tp_sz > 1 (shared grids only): grid row i samples TEXTURE row
+    i // tp_sz — img carries B // tp_sz unique textures and the output has
+    one row per grid. This is the context-fusion shape (each ctx frame
+    warped to tp_sz prediction frames): the caller no longer materializes
+    tp_sz HBM copies of every ctx frame just to batch the sampler."""
+    bt, h, w, c = img.shape
     in_dtype = img.dtype
     if img.dtype != jnp.float32:
         # the kernel's VMEM scratch and accumulators are f32; bf16 sources
@@ -372,6 +380,9 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     shared = grid.ndim == 4
     if shared:
         grid = grid[:, None]
+    assert tp_sz == 1 or shared, "tp_sz mapping needs shared grids"
+    b = grid.shape[0]
+    assert b == bt * tp_sz, (img.shape, grid.shape, tp_sz)
     gc = grid.shape[1]
     assert gc == (1 if shared else c), (img.shape, grid.shape)
     _, _, gh, gw, _ = grid.shape
@@ -426,7 +437,7 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     # channel zero over it); per-channel grids skip per (tile, channel) —
     # the training-path alpha warp's planes are mostly zeros.
     bnd3, footprint = _host_bounds(ix, iy, hh, ww, hb, wb)  # (B, gc, n_tp, 3)
-    rows = jnp.arange(b, dtype=jnp.int32)
+    rows = jnp.arange(b, dtype=jnp.int32) // tp_sz  # grid row -> texture row
     if shared:
         nz_any = (tex != 0).any(axis=1, keepdims=True).astype(jnp.float32)
         skip = _skip_flags(nz_any, footprint, rows)  # (B, 1, n_tp)
@@ -443,11 +454,23 @@ def grid_sample_pallas(img: jnp.ndarray, grid: jnp.ndarray,
     # 9 of 23 channels. Default: ALL channels in one step (capped at 32 to
     # bound the unrolled per-step dot chain and the 2*kc*hb*wb VMEM).
     kc_default = -(-c // -(-c // 32))  # even split: no clamped-tail overlap
+    if shared and prec == "float32":
+        # the unrolled per-step dot chain keeps kc live (TILE_P, wb) f32
+        # matmul temporaries plus the 2*kc*hb*wb ping-pong blocks; at f32
+        # Mosaic's scoped-vmem accounting blows the 100M limit near kc=23
+        # at HD shapes (measured: f32[12,23,512,1024] src, 512x1024 grid ->
+        # 103.83M > 100M). Cap kc so the chain stays under ~56M and
+        # re-split evenly to keep the no-overlap tail invariant.
+        per_kc = (TILE_P * wb + 2 * hb * wb) * 4
+        kc_cap = max(1, (56 * 1024 * 1024) // per_kc)
+        if kc_cap < kc_default:
+            kc_default = -(-c // -(-c // kc_cap))
     kc = min(int(os.environ.get("WALDO_PALLAS_KC", str(kc_default))),
              c) if shared else 1
     out = pl.pallas_call(
         functools.partial(_kernel, h=hh, w=ww, c=c, hb=hb, wb=wb, hc=hc,
-                          wc=wc, precision=prec, shared=shared, kc=kc),
+                          wc=wc, precision=prec, shared=shared, kc=kc,
+                          tp=tp_sz),
         grid=(b, n_groups),
         in_specs=[
             # the source stays in HBM; the kernel DMAs only the blocks it
