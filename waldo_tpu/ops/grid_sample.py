@@ -253,10 +253,10 @@ def grid_sample_ctx(img: jnp.ndarray, grid: jnp.ndarray, *, tp_sz: int,
     out_px = grid.shape[-3] * grid.shape[-2]
     if (
         tp_sz > 1
-        # default-off until the HD shape is verified on-chip (the axon
-        # tunnel's Mosaic build rejects shapes interpret mode accepts);
-        # bench.py / verified callers opt in with WALDO_CTX_TPSZ=1
-        and os.environ.get("WALDO_CTX_TPSZ", "0") == "1"
+        # verified on-chip at the flagship (256x512 C=23, fast+f32) and HD
+        # (512x1024 C=23, fast) fusion shapes; env kill-switch kept because
+        # interpret mode cannot see Mosaic hardware constraints
+        and os.environ.get("WALDO_CTX_TPSZ", "1") == "1"
         and _IMPL in ("auto", "pallas")
         and jax.default_backend() == "tpu"
         and src * c >= (1 << 19)
