@@ -25,7 +25,7 @@ import flax.linen as nn
 from ..nn import ConvPatchProj, CustomNorm, MultiBlocks
 from ..nn.init import dense_kwargs, trunc_normal_init
 from ..ops import get_grid, get_circle, resize
-from ..parallel.sharding import shard_tokens
+from ..parallel.sharding import shard_batch_only, shard_tokens
 
 
 def get_num_channels(dtype: str, num_lyt: int) -> int:
@@ -64,6 +64,16 @@ class ImageEncoder(nn.Module):
         img = vid.reshape((-1,) + vid.shape[-3:])
         if scale != 1:
             img = resize(img, 1.0 / scale)
+        # Pin the conv stack to pure data-parallel sharding on both sides.
+        # Without this, the `seq` constraint on the downstream attention
+        # tokens propagates back through the (B*T, L, C) reshape into the
+        # conv's spatial axis, and the partitioner resolves the transpose
+        # (input-grad) conv with an involuntary full rematerialization
+        # ({data,seq} -> flattened-batch reshard of an activation-sized
+        # tensor per step; MULTICHIP_r04.json). Constraining here makes the
+        # reshard an explicit cheap token all-to-all at the attention
+        # boundary instead.
+        img = shard_batch_only(img)
         proj = ConvPatchProj(
             patch_size=m.patch_size,
             embed_dim=m.embed_dim,
@@ -71,7 +81,7 @@ class ImageEncoder(nn.Module):
             num_channels=get_num_channels(self.dtype_str, cfg.data.num_lyt),
             from_patch=True,
         )
-        tokens = proj(img)
+        tokens = shard_batch_only(proj(img))
         return tokens.reshape(lead + tokens.shape[1:])
 
 
