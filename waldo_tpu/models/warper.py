@@ -83,11 +83,16 @@ class Warper:
 
     def __call__(self, obj_pose, bg_pose, invert=True) -> WarpGrids:
         b, t, no, lo, _ = obj_pose.shape
+        # mixed-precision fixed-point schedule rides the model's numerics
+        # knob: sample_precision="fast" (the bench default) runs all but the
+        # final inversion iteration in bf16 (ops/inverse_warp.py:iterative)
         inv_o = (
-            self.invert_obj.iterative if self.fast_inverse_warp else self.invert_obj
+            (lambda g: self.invert_obj.iterative(g, precision=self.sample_precision))
+            if self.fast_inverse_warp
+            else self.invert_obj
         )
         inv_b = (
-            self.invert_bg.iterative
+            (lambda g: self.invert_bg.iterative(g, precision=self.sample_precision))
             if self.fast_inverse_warp
             else (lambda g: self.invert_bg(g, erode=False))
         )
