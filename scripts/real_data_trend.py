@@ -32,14 +32,29 @@ MODALITIES = (
 )
 
 
+VAL_OFFSETS = (0, 5, 10, 14)
+
+
 def prepare_root(dataroot: str, n_train: int = 8) -> None:
-    """Symlink farm: N pseudo-sequences for train, the original for val.
+    """Symlink farm: N pseudo-sequences for train, multiple eval WINDOWS for
+    val (VERDICT r4 #5: score more than one clip).
 
     Sequence identity is the first two '_'-separated basename tokens
     (data/cityscapes.py:29), so renaming 'munster_000037_...' to
     'demoK_000037_...' yields distinct contiguous sequences over the same
-    frames; random clip offsets at vid_len 14 give the loader variety."""
+    frames; random clip offsets at vid_len 14 give the loader variety.
+
+    Val: eval reads each sequence's FIRST window (data/base.py:_select_frames
+    picks idx 0 off-train), so one 29-frame munster sequence scores one
+    window. To score several, build win{k} pseudo-sequences whose frame
+    numbering starts at real offset k. The loader only keeps sequences of
+    29/30 contiguous entries (data/cityscapes.py repair drops trailing
+    runs, reference parity), so each window sequence is padded back to 29
+    entries by re-linking the last real frame under successive frame
+    numbers — the pad is beyond the 15 frames eval reads (skip_first + 14)
+    and never loaded."""
     import glob
+    import shutil
 
     for mod in MODALITIES:
         src_dir = os.path.join(DEMO, mod, "val", "munster")
@@ -47,9 +62,29 @@ def prepare_root(dataroot: str, n_train: int = 8) -> None:
         assert files, src_dir
         val_dst = os.path.join(dataroot, mod, "val")
         os.makedirs(val_dst, exist_ok=True)
-        link = os.path.join(val_dst, "munster")
-        if not os.path.islink(link):
-            os.symlink(src_dir, link)
+        legacy = os.path.join(val_dst, "munster")
+        if os.path.islink(legacy):  # pre-r5 single-window layout
+            os.remove(legacy)
+
+        def frame_num(path):
+            return int(os.path.basename(path).split("_")[2])
+
+        lo = min(frame_num(f) for f in files)
+
+        def named_as(src, k, num):
+            toks = os.path.basename(src).split("_")
+            toks[0], toks[2] = f"win{k:02d}", f"{num:06d}"
+            return "_".join(toks)
+
+        for k in VAL_OFFSETS:
+            win = os.path.join(val_dst, f"win{k:02d}")
+            os.makedirs(win, exist_ok=True)
+            real = [f for f in files if frame_num(f) >= lo + k]
+            pad = [files[-1]] * (len(files) - len(real))
+            for i, src in enumerate(real + pad):
+                dst = os.path.join(win, named_as(src, k, lo + k + i))
+                if not os.path.islink(dst):
+                    os.symlink(src, dst)
         for k in range(n_train):
             tr = os.path.join(dataroot, mod, "train", f"seq{k}")
             os.makedirs(tr, exist_ok=True)
