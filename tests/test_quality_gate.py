@@ -59,6 +59,31 @@ def test_real_data_pred_vid_gate():
         assert rec1["cum_psnr"] >= rec0["cum_psnr"] + 0.5, (rec0, rec1)
 
 
+def test_real_data_trend_stability_gate():
+    """Mid-run oscillation gate (VERDICT r4 weak #5: a latest-only gate
+    misses regressions like r4's rec_vid dip at iter 750). Checkpoints in
+    the second half of the run must hold near the running best rather than
+    collapse: rec_vid within 1.5 dB of its max, pred_vid's final checkpoint
+    within 0.5 dB of its max."""
+    curve = _load("evidence_real_data_trend.json")["curve"]
+    if "pred_vid" not in curve["0"]:
+        pytest.skip("evidence predates per-folder pred_vid scoring")
+    numeric = sorted((int(k) for k in curve if k != "latest"))
+    order = [str(k) for k in numeric] + ["latest"]
+    half = order[len(order) // 2:]
+
+    def series(folder):
+        return [curve[k][folder]["cum_psnr"] for k in order if folder in curve[k]]
+
+    rec = series("rec_vid")
+    if rec:
+        best = max(rec)
+        second_half = rec[-len(half):]
+        assert min(second_half) >= best - 1.5, (best, rec)
+    pred = series("pred_vid")
+    assert pred[-1] >= max(pred) - 0.5, pred
+
+
 def test_synthetic_trend_gate():
     """Synthetic 3-stage run: WIF-fused prediction must beat the untrained
     init (r2 1500-iter run: +0.65 dB / +0.04 SSIM)."""
