@@ -157,6 +157,27 @@ def test_inverse_warp_iterative_roundtrip_and_unmapped():
     assert (np.abs(inv) > 1.5).all() and np.isfinite(inv).all()
 
 
+def test_inverse_warp_iterative_mixed_precision_schedule():
+    """precision="fast" (bf16 intermediate iterations, f32 final — the bench
+    numerics since r5) must agree with the all-f32 schedule: exactly on CPU
+    (matmuls are f32 either way), and within the fixed-point contraction
+    bound generally. Also pins the Warper plumbing: sample_precision="fast"
+    reaches the inversion."""
+    rng = np.random.RandomState(3)
+    h, w = 24, 40
+    iw = InverseWarp(h, w, 32, 48)
+    tgt_pts = np.asarray(get_grid(4, 4)).reshape(-1, 2).astype(np.float32)
+    pose = tgt_pts[None] * 0.7 + 0.05 * rng.randn(3, 16, 2).astype(np.float32)
+    src = jnp.asarray(np.asarray(TPSWarp(h, w, tgt_pts)(jnp.asarray(pose))))
+    f32 = np.asarray(iw.iterative(src, precision="float32"))
+    fast = np.asarray(iw.iterative(src, precision="fast"))
+    both_valid = (np.abs(f32) <= 1.5) & (np.abs(fast) <= 1.5)
+    mask_agree = ((np.abs(f32) > 1.5) == (np.abs(fast) > 1.5)).mean()
+    assert mask_agree >= 0.995, mask_agree
+    err = np.abs(np.where(both_valid, f32 - fast, 0.0))
+    assert err.max() <= 5e-3, err.max()  # contraction bound; 0 on CPU
+
+
 def test_inverse_warp_unmapped_is_out_of_bounds():
     h, w = 16, 16
     iw = InverseWarp(h, w, h, w)
