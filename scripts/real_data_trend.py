@@ -138,7 +138,12 @@ def provenance() -> dict:
         # sharp_vid (L1) only — NOT the reference's L1+LPIPS objective
         wif_objective="L1-only (no LPIPS weights in this env)",
         compute_dtype="bfloat16 matmul passes (f32 pinned in geometry)",
-        fast_inverse_warp=True,
+        # the harness never passes --s_fast_inverse_warp, so training AND
+        # eval run the exact f32 scatter inversion (config default False).
+        # Pre-r5 stamps hardcoded True here — wrong; r4/r3 trend evidence
+        # actually used the scatter path too (same harness).
+        fast_inverse_warp=False,
+        ctx_tpsz_sampler=os.environ.get("WALDO_CTX_TPSZ", "1") == "1",
         chip_shared=os.environ.get("WALDO_CHIP_SHARED",
                                    "exclusive (no concurrent jobs launched)"),
     )

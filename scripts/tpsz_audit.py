@@ -119,8 +119,11 @@ def main(argv=None):
     from waldo_tpu.utils.profiling import provenance
 
     backend = jax.default_backend()
-    # flagship fusion: (B*Tc=4, 256, 512, 23) x 40 grids; HD: 512x1024
-    cases = {"flagship_256x512": (256, 512, 23, 10),
+    # trend-eval fusion: (B*Tc=4, 128, 256, 23) x 40 grids (dim-128 predict,
+    # load_dim 0 — the real_data_trend eval shape); flagship: 256x512;
+    # HD: 512x1024
+    cases = {"trend_eval_128x256": (128, 256, 23, 10),
+             "flagship_256x512": (256, 512, 23, 10),
              "hd_512x1024": (512, 1024, 23, 10)}
     report = {"backend": backend, "cases": {}}
     for name, (h, w, c, tp) in cases.items():
