@@ -12,7 +12,7 @@ export JAX_COMPILATION_CACHE_DIR=~/.cache/waldo_jax
 run() { # name, cmd...
   local name=$1; shift
   echo "=== $name: $* ==="
-  /usr/bin/time -v "$@" > "$OUT/$name.json" 2> "$OUT/$name.log"
+  "$@" > "$OUT/$name.json" 2> "$OUT/$name.log"
   echo "rc=$? ($name)"
   tail -c 400 "$OUT/$name.json"; echo
 }
