@@ -182,6 +182,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--root", type=str, default="/tmp/waldo_real_trend")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="train checkpoints only (e.g. to feed the "
+                         "acceptance loop); leave the landed trend "
+                         "evidence untouched")
     ap.add_argument("--concurrent", action="store_true",
                     help="train FLP and WIF concurrently (both depend only "
                          "on the frozen LVD)")
@@ -340,6 +344,10 @@ def main(argv=None):
     lvd = latest_tag(save_path, "real_lvd")
     flp = latest_tag(save_path, "real_flp")
     wif = latest_tag(save_path, "real_wif")
+    if args.skip_eval:
+        print(f"[real trend] checkpoints ready ({lvd} / {flp} / {wif}); "
+              "--skip_eval set, stopping before the curve eval", flush=True)
+        return
 
     steps = [str(s) for s in range(0, iters, save_freq)] + ["latest"]
     # score the most informative checkpoints first ("latest", then init) so
