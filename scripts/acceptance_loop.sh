@@ -10,7 +10,11 @@ set -eu
 cd "$(dirname "$0")/.."
 ROOT=${1:-/tmp/waldo_real_trend}
 RUN="$ROOT/run"
-export JAX_COMPILATION_CACHE_DIR=~/.cache/waldo_jax
+# NO persistent compile cache here: the eval's big predict graph behaves
+# like bench.py's rollout — its ~80 MB cache entry crosses the axon tunnel
+# on write AND hit, each slower than recompiling (r4: 9m40 cache-hit runs
+# vs ~60 s fresh compile). Small-compile savings don't offset that.
+unset JAX_COMPILATION_CACHE_DIR
 
 latest() { ls "$RUN/checkpoints" | grep "$1" | sort | tail -1; }
 LVD=$(latest real_lvd); FLP=$(latest real_flp); WIF=$(latest real_wif)
@@ -29,7 +33,13 @@ bash scripts/cityscapes/test.sh "$LVD" "$FLP" "$WIF" \
   --s_load_path "$RUN/checkpoints/$LVD" \
   --s_pg_load_path "$RUN/checkpoints/$FLP" \
   --s_ii_load_path "$RUN/checkpoints/$WIF" \
-  --max_batch_eval_vid 4 --data.num_workers 4
+  --max_batch_eval_vid 4 --data.num_workers 4 \
+  --compute_dtype bfloat16 --s_fast_inverse_warp true
+# ^ bench numerics at the HD eval geometry: the f32 + exact-scatter
+# configuration RESOURCE_EXHAUSTs the chip at 512x1024 batch 1 (first
+# r5 acceptance attempt); bf16 passes + iterative inversion are the HD
+# configuration every official bench runs, bounded vs the golden f32
+# pipeline by evidence_precision_audit.json (56.9 dB / 0.9997 SSIM).
 
 echo "=== metrics (reference CLI protocol: TAG LEN CTX) ==="
 python -m waldo_tpu.eval.metrics test_cityscapes 14 4 \
