@@ -131,8 +131,15 @@ def main(argv=None):
     from waldo_tpu.eval import metrics as metrics_cli
 
     results = {}
-    for n in names:
-        flp = latest_tag(save_path, f"abl_flp_{n}")
+    # score the trend's real_flp (use_last ON, ctx 4/4) through the SAME
+    # eval protocol as the variants: with shortened-iteration ablations the
+    # landed trend curve (trained for a different iteration count) is not a
+    # comparable baseline, so re-measure it here
+    for n in ["baseline"] + names:
+        if n == "baseline":
+            flp = latest_tag(save_path, "real_flp")
+        else:
+            flp = latest_tag(save_path, f"abl_flp_{n}")
         ev = f"abl_eval_{n}"
         import glob as _glob
         import shutil as _shutil
